@@ -1,0 +1,314 @@
+"""The receiver signal graph: a jit-compiled block pipeline over IQ tensors.
+
+This is the TPU-native replacement for the reference's Teensy AudioStream graph
+(nodes: RadioDSP_SDR_RX.ino:52-67, edges :71-89) and its two execution domains
+(audio ISR + main loop, SURVEY.md §1). The graph becomes *function
+composition*; all per-sample mutable state (overlap tails, NCO phase, AGC
+envelope, LMS weights, PLL phase, noise floor) becomes an explicit
+``ReceiverState`` pytree — checkpointable, shardable, and race-free by
+construction (SURVEY.md §5).
+
+Chain (mirrors the reference signal path, SURVEY.md §3.2-3.3):
+
+  IQ capture -> preprocessor (gain balance)            [AudioSDRpreProcessor]
+     -> noise blanker (optional)                        [AudioSDR NB]
+     -> NCO mix (digital LO; replaces Si5351+QSD)       [sendFreq analog LO]
+     -> complex band-pass (sideband select, MXU matmul) [AudioSDR demod filters]
+     -> demod: SSB Re(z) / AM |z| / SAM PLL             [AudioSDR demod]
+     -> LMS auto-notch (NOTCH mode)                     [AudioSDR ALS]
+     -> AGC                                             [AudioSDR AGC]
+     -> audio passband (PBT) overlap-save filter        [doConvolutionalProcessing]
+     -> LMS denoise (DNR modes, x1.1 makeup, R<-L)      [RDSP_convolutional.h:326-337]
+        or spectral subtraction (SPEC modes)            [backup engine]
+     -> output gain (0.5), optional q15 quantization    [arm_float_to_q15]
+
+Mode/NR selection is static (the pipeline re-specializes under jit, exactly as
+XLA wants); frequency, filter matrices, AGC constants are dynamic inputs —
+retuning never recompiles (the reference needed an interrupt-disabled critical
+section for this, RDSP_convolutional.h:209-224).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radiodsp_sdr_rx_tpu.models.config import DemodMode, NRMode, ReceiverConfig
+from radiodsp_sdr_rx_tpu.ops import agc as agc_ops
+from radiodsp_sdr_rx_tpu.ops import demod as demod_ops
+from radiodsp_sdr_rx_tpu.ops import fastconv, fir_design, lms, nco
+from radiodsp_sdr_rx_tpu.ops import noise_blanker as nb_ops
+from radiodsp_sdr_rx_tpu.ops import preprocessor as pre_ops
+from radiodsp_sdr_rx_tpu.ops import spectral_sub
+from radiodsp_sdr_rx_tpu.ops.qformat import quantize_q15
+
+
+class ReceiverParams(NamedTuple):
+    """Dynamic (retunable without recompilation) pipeline parameters."""
+
+    nco_inc: jax.Array       # uint32 DDS increment
+    w_sideband: jax.Array    # (2F, F) f32 collapsed overlap-save op, IQ stage
+    w_audio: jax.Array       # (2F, F) f32 collapsed overlap-save op, PBT stage
+    agc_release: jax.Array   # f32
+    agc_target: jax.Array    # f32
+    agc_max_gain: jax.Array  # f32
+    agc_enabled: jax.Array   # bool
+    lms_mu: jax.Array        # f32
+    nr_level: jax.Array      # f32
+    nb_threshold_db: jax.Array
+    input_gain: jax.Array
+    output_gain: jax.Array
+    iq_gain_balance: jax.Array
+
+
+class ReceiverState(NamedTuple):
+    """All carried DSP state — the checkpointable pytree (SURVEY.md §5)."""
+
+    nco_phase: jax.Array     # uint32
+    sb_tail: jax.Array       # (F/2,) complex64 — IQ-stage overlap-save carry
+    audio_tail: jax.Array    # (F/2,) complex64 — PBT-stage carry
+    agc_env: jax.Array       # f32
+    nb_avg: jax.Array        # f32
+    am_dc: jax.Array         # (2,) f32 DC-blocker carry
+    sam: demod_ops.SAMState
+    lms: lms.LMSState
+    nfloor: jax.Array        # f32 spectral-subtraction noise-floor carry
+
+
+def init_state(fft_length: int = 256) -> ReceiverState:
+    half = fft_length // 2
+    return ReceiverState(
+        nco_phase=jnp.uint32(0),
+        sb_tail=jnp.zeros(half, jnp.complex64),
+        audio_tail=jnp.zeros(half, jnp.complex64),
+        agc_env=jnp.float32(1e-6),
+        nb_avg=jnp.float32(0.0),
+        am_dc=jnp.zeros(2, jnp.float32),
+        sam=demod_ops.sam_init(),
+        lms=lms.lms_nr_init(),
+        nfloor=jnp.float32(0.0),
+    )
+
+
+def build_params(config: ReceiverConfig) -> ReceiverParams:
+    """Host-side parameter construction (float64 filter design, like the
+    reference's double-precision calc_cplx_FIR_coeffs)."""
+    lo, hi = config.iq_band
+    mask_sb = fir_design.design_filter_mask(
+        lo, hi, config.sample_rate, config.fft_length, window_id=int(config.fir_window)
+    )
+    w_sb = fir_design.overlap_save_matrix_real(mask_sb)
+
+    mask_audio = fir_design.design_filter_mask(
+        config.pbt_lo, config.pbt_hi, config.sample_rate, config.fft_length,
+        window_id=int(config.fir_window),
+    )
+    w_audio = fir_design.overlap_save_matrix_real(mask_audio)
+
+    agc_p = agc_ops.agc_presets(config.sample_rate)[config.agc.value]
+
+    return ReceiverParams(
+        nco_inc=nco.freq_to_phase_inc(config.nco_freq, config.sample_rate),
+        w_sideband=jnp.asarray(w_sb),
+        w_audio=jnp.asarray(w_audio),
+        agc_release=jnp.float32(agc_p.release),
+        agc_target=jnp.float32(agc_p.target),
+        agc_max_gain=jnp.float32(agc_p.max_gain),
+        agc_enabled=jnp.asarray(agc_p.enabled),
+        lms_mu=lms.lms_mu_from_strength(max(config.nr.level, 1)),
+        nr_level=jnp.float32(config.nr.level),
+        nb_threshold_db=jnp.float32(config.nb_threshold_db),
+        input_gain=jnp.float32(config.input_gain),
+        output_gain=jnp.float32(config.output_gain),
+        iq_gain_balance=jnp.float32(config.iq_gain_balance),
+    )
+
+
+def rx_chain(
+    params: ReceiverParams,
+    state: ReceiverState,
+    iq: jax.Array,
+    *,
+    mode: DemodMode,
+    nr: NRMode,
+    noise_blanker: bool,
+    quantize_output: bool,
+    fft_length: int = 256,
+    sample_rate: float = 44117.64706,
+) -> tuple[dict, ReceiverState]:
+    """One pipeline invocation over a segment of IQ samples.
+
+    iq: (n,) complex64, n a multiple of fft_length/2. Keyword args are static.
+    Returns ({'audio_l', 'audio_r'}, new_state).
+    """
+    # --- preprocessor: input gain + IQ gain balance (ino:133-135)
+    z = pre_ops.iq_gain_balance(iq * params.input_gain, params.iq_gain_balance)
+
+    # --- noise blanker (optional, AudioSDR NB)
+    nb_avg = state.nb_avg
+    if noise_blanker:
+        z, nb_avg = nb_ops.noise_blanker(z, nb_avg, params.nb_threshold_db)
+
+    # --- digital LO: quadrature DDC (replaces Si5351 sendFreq)
+    z, nco_phase = nco.nco_mix(z, state.nco_phase, params.nco_inc)
+
+    # --- sideband-select complex band-pass: one MXU matmul over all frames
+    z, sb_tail = fastconv.overlap_save_filter(z, params.w_sideband, state.sb_tail)
+
+    # --- demodulate (static mode selection -> specialized pipeline)
+    am_dc, sam_state = state.am_dc, state.sam
+    if mode in (DemodMode.USB, DemodMode.LSB, DemodMode.RTTY,
+                DemodMode.CW, DemodMode.CW_NARROW):
+        audio = demod_ops.demod_ssb(z)
+    elif mode == DemodMode.AM:
+        audio, am_dc = demod_ops.demod_am(z, am_dc)
+    elif mode == DemodMode.SAM:
+        audio, sam_state = demod_ops.demod_sam(z, sam_state, sample_rate=sample_rate)
+    else:
+        raise ValueError(f"unsupported mode {mode}")
+
+    # --- LMS auto-notch (ALS filter inside the SDR block, pre-conv)
+    lms_state = state.lms
+    if nr.kind == "notch":
+        audio, lms_state = lms.lms_nr_run(audio, lms_state, params.lms_mu, mode="notch")
+
+    # --- AGC
+    agc_params = agc_ops.AGCParams(
+        release=params.agc_release, target=params.agc_target,
+        max_gain=params.agc_max_gain, enabled=params.agc_enabled,
+    )
+    audio, agc_env = agc_ops.agc_run(audio, agc_params, state.agc_env)
+
+    # --- PBT audio passband via overlap-save, reference conv-engine layout:
+    # z = L + jR with L = R = mono audio (RDSP_convolutional.h:228-318)
+    za = jax.lax.complex(audio, audio)
+    za, audio_tail = fastconv.overlap_save_filter(za, params.w_audio, state.audio_tail)
+    audio_l, audio_r = za.real, za.imag
+
+    # --- noise reduction stage (post-conv, like the reference main loop)
+    nfloor = state.nfloor
+    if nr.kind == "lms":
+        audio_l, lms_state = lms.lms_nr_run(audio_l, lms_state, params.lms_mu,
+                                            mode="denoise")
+        audio_l = audio_l * 1.1          # makeup gain (RDSP_convolutional.h:334)
+        audio_r = audio_l                # mono copy R<-L (:335)
+    elif nr.kind == "spectral":
+        frames = fastconv.frame_overlap_save(
+            jax.lax.complex(audio_l, audio_r),
+            jnp.zeros(fft_length // 2, jnp.complex64),
+        )
+        out, nfloor = spectral_sub.spectral_subtract_frames(
+            frames, params.nr_level, nfloor
+        )
+        flat = out.reshape(-1)
+        audio_l, audio_r = flat.real, flat.imag
+
+    # --- output gain + optional q15 boundary quantization
+    audio_l = audio_l * params.output_gain
+    audio_r = audio_r * params.output_gain
+    if quantize_output:
+        audio_l, audio_r = quantize_q15(audio_l), quantize_q15(audio_r)
+
+    new_state = ReceiverState(
+        nco_phase=nco_phase, sb_tail=sb_tail, audio_tail=audio_tail,
+        agc_env=agc_env, nb_avg=nb_avg, am_dc=am_dc, sam=sam_state,
+        lms=lms_state, nfloor=nfloor,
+    )
+    return {"audio_l": audio_l, "audio_r": audio_r}, new_state
+
+
+class Receiver:
+    """Single-channel receiver: config -> jitted pipeline.
+
+    >>> rx = Receiver(ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_200_000,
+    ...                              capture_center_freq=7_190_000))
+    >>> state = rx.init_state()
+    >>> out, state = rx.process(iq_segment, state)
+    """
+
+    def __init__(self, config: ReceiverConfig):
+        self.config = config
+        self.params = build_params(config)
+        statics = dict(
+            mode=config.mode, nr=config.nr, noise_blanker=config.noise_blanker,
+            quantize_output=config.quantize_output, fft_length=config.fft_length,
+            sample_rate=config.sample_rate,
+        )
+        self._fn = jax.jit(lambda p, s, x: rx_chain(p, s, x, **statics))
+
+    def init_state(self) -> ReceiverState:
+        return init_state(self.config.fft_length)
+
+    def retune(self, **updates) -> "Receiver":
+        """New config; reuses the compiled pipeline when statics are unchanged
+        (frequency/filter/AGC changes are pure parameter swaps)."""
+        new_config = self.config.with_(**updates)
+        statics_same = (
+            new_config.mode == self.config.mode
+            and new_config.nr == self.config.nr
+            and new_config.noise_blanker == self.config.noise_blanker
+            and new_config.quantize_output == self.config.quantize_output
+            and new_config.fft_length == self.config.fft_length
+            and new_config.sample_rate == self.config.sample_rate
+        )
+        if statics_same:
+            new_rx = object.__new__(Receiver)
+            new_rx.config = new_config
+            new_rx.params = build_params(new_config)
+            new_rx._fn = self._fn
+            return new_rx
+        return Receiver(new_config)
+
+    def process(self, iq: jax.Array, state: ReceiverState):
+        return self._fn(self.params, state, iq)
+
+
+class ReceiverBank:
+    """Many-channel receiver bank: shared mode/filters, per-channel frequency.
+
+    The reference's single-receiver loop becomes a batched channel axis
+    (SURVEY.md §2.3 "DP analog"): states are stacked along axis 0 and the
+    pipeline is vmapped; filter matrices broadcast (shared across the bank) so
+    the overlap-save matmul fuses the whole bank into one MXU call.
+    """
+
+    def __init__(self, config: ReceiverConfig, freqs_hz):
+        self.config = config
+        self.n_channels = len(freqs_hz)
+        base = build_params(config)
+        incs = jnp.stack([
+            nco.freq_to_phase_inc(f - config.tuning_offset - config.capture_center_freq,
+                                  config.sample_rate)
+            for f in np.asarray(freqs_hz, np.float64)
+        ])
+        self.params = base._replace(nco_inc=incs)
+        statics = dict(
+            mode=config.mode, nr=config.nr, noise_blanker=config.noise_blanker,
+            quantize_output=config.quantize_output, fft_length=config.fft_length,
+            sample_rate=config.sample_rate,
+        )
+        in_axes = (ReceiverParams(
+            nco_inc=0, w_sideband=None, w_audio=None, agc_release=None,
+            agc_target=None, agc_max_gain=None, agc_enabled=None, lms_mu=None,
+            nr_level=None, nb_threshold_db=None, input_gain=None,
+            output_gain=None, iq_gain_balance=None,
+        ), 0, 0)
+        self._fn = jax.jit(
+            jax.vmap(lambda p, s, x: rx_chain(p, s, x, **statics), in_axes=in_axes)
+        )
+
+    def init_state(self) -> ReceiverState:
+        one = init_state(self.config.fft_length)
+        return jax.tree.map(
+            lambda leaf: jnp.broadcast_to(leaf, (self.n_channels,) + leaf.shape).copy(),
+            one,
+        )
+
+    def process(self, iq: jax.Array, state: ReceiverState):
+        """iq: (n_channels, n) or (n,) broadcast to all channels."""
+        if iq.ndim == 1:
+            iq = jnp.broadcast_to(iq, (self.n_channels,) + iq.shape)
+        return self._fn(self.params, state, iq)

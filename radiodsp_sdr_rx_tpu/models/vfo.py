@@ -1,0 +1,71 @@
+"""VFO model: tuning steps, clamps, auto step-down — pure data, no Si5351.
+
+Replaces the reference's VFO/encoder plumbing (ref:
+src/RadioDSP_SDR_RX/RDSP_controls.h:79-144 ``tuningStep``, :453-564 ``showFreq``
+auto step-down, :617-681 ``setFreq``; limits RDSP_general_includes.h:68-72).
+The "LO" here is the receiver NCO: ``VFO.freq`` feeds
+``ReceiverConfig.vfo_freq``; there is no I2C transaction, so the Si5351's
+4x-clock and 33000 ppb correction (RDSP_controls.h:429-448) exist only as the
+documented relation ``lo_clock_hz = 4 * (freq - tuning_offset)`` for users
+driving real QSD hardware from captures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from radiodsp_sdr_rx_tpu.models.config import BOTTOM_FREQ, TOP_FREQ
+
+# tndx -> step in Hz (tuningStep, RDSP_controls.h:86-133)
+TUNING_STEPS = (1, 10, 100, 1_000, 10_000, 100_000, 1_000_000)
+MIN_TS = 1  # minimum step index after cycling (RDSP_controls.h:137 "10 Hz")
+
+
+@dataclasses.dataclass
+class VFO:
+    """Mutable tuning model with the reference's step-cycling semantics."""
+
+    freq: int = 7_050_000            # vfoFreq default (RDSP_general_includes.h:72)
+    step_index: int = 3              # tndx default = 1 kHz
+    max_step_index: int = 6
+
+    @property
+    def step(self) -> int:
+        return TUNING_STEPS[self.step_index]
+
+    def cycle_step(self) -> None:
+        """Advance to the next step (wraps to MIN_TS past max), per tuningStep's
+        post-increment cycle (RDSP_controls.h:135-142)."""
+        if self.step_index >= self.max_step_index:
+            self.step_index = MIN_TS
+        else:
+            self.step_index += 1
+
+    def _auto_step_down(self) -> None:
+        """showFreq's automatic step-down near range edges and max-step rules
+        (RDSP_controls.h:459-483, 504-560)."""
+        if 1_000_000 <= self.freq <= 1_999_999 and self.step == 1_000_000:
+            self.step_index = 5
+        if 100_000 <= self.freq <= 199_999 and self.step == 100_000:
+            self.step_index = 4
+        if 10_000 <= self.freq <= 19_999 and self.step == 10_000:
+            self.step_index = 3
+        if self.freq < 99_999:
+            self.max_step_index = 4
+        elif self.freq < 999_999:
+            self.max_step_index = 5
+        else:
+            self.max_step_index = 6
+        self.step_index = min(self.step_index, self.max_step_index)
+
+    def tune(self, increments: int) -> int:
+        """Move by ``increments`` encoder detents (sign = direction), clamped to
+        [30 kHz, 30 MHz] (setFreq, RDSP_controls.h:634-654). Returns freq."""
+        self.freq = int(min(TOP_FREQ, max(BOTTOM_FREQ, self.freq + increments * self.step)))
+        self._auto_step_down()
+        return self.freq
+
+    def lo_clock_hz(self, tuning_offset: float = 0.0) -> float:
+        """The Si5351 CLK0 frequency the reference would program: 4x quadrature
+        clock (sendFreq, RDSP_controls.h:445-448)."""
+        return 4.0 * (self.freq - tuning_offset)

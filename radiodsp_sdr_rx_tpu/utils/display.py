@@ -1,0 +1,95 @@
+"""Scope/waterfall presentation quantities as tensors + a host ASCII renderer.
+
+The reference paints an ILI9341 TFT over DMA (ref:
+src/RadioDSP_SDR_RX/RDSP_display.h); the *outputs* of that display pipeline —
+smoothed spectrum bars, scrolling waterfall with 7-level color classification —
+are framework tensors here (SURVEY.md §5 metrics), and the vendored TFT driver
+is replaced by a host renderer with no TPU role.
+
+Faithful math:
+- 5-point frequency smoothing, weights x:0.7, x+-1:0.3, x+-2:0.15 for
+  2 <= x < 254, pass-through at the edges (RDSP_display.h:260-271)
+- time smoothing view = 0.7 * 2*sqrt(|avg|*5) + 0.3 * view_old (:276)
+- waterfall rows scroll down, row 0 = |view[2x]| per column (:284, :294-297)
+- color thresholds (low=0): >=75 red, >=50 magenta, >=40 orange, >=25 yellow,
+  >=15 blue, >=5 navy, else black (:299-318)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_WATERFALL = 50      # rows (RDSP_general_includes.h:118)
+LPF_COEFF = 0.7         # time-smoothing (RDSP_display.h:242)
+FREQ_WEIGHTS = (0.7, 0.3, 0.15)  # x, x+-1, x+-2 (RDSP_display.h:266-268)
+SCALE = 5               # amplitude scale (RDSP_display.h:240)
+
+# threshold -> color name, descending (RDSP_display.h:299-318)
+WATERFALL_THRESHOLDS = (75, 50, 40, 25, 15, 5)
+WATERFALL_COLORS = ("red", "magenta", "orange", "yellow", "blue", "navy", "black")
+
+
+def spectrum_smooth(
+    spectrum: jax.Array, view_old: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Frequency + time smoothing of one panadapter row.
+
+    spectrum: (..., 256) raw analyzer output (display order)
+    view_old: (..., 256) previous smoothed view
+    Returns (view, view) — the new view is also the next carry.
+    """
+    w0, w1, w2 = FREQ_WEIGHTS
+    s = spectrum
+    avg = (
+        s * w0
+        + jnp.roll(s, 1, axis=-1) * w1
+        + jnp.roll(s, -1, axis=-1) * w1
+        + jnp.roll(s, 2, axis=-1) * w2
+        + jnp.roll(s, -2, axis=-1) * w2
+    )
+    idx = jnp.arange(s.shape[-1])
+    interior = (idx > 1) & (idx < s.shape[-1] - 2)
+    avg = jnp.where(interior, avg, s)
+    view = LPF_COEFF * 2.0 * jnp.sqrt(jnp.abs(avg) * SCALE) + (1.0 - LPF_COEFF) * view_old
+    return view, view
+
+
+def waterfall_update(history: jax.Array, view: jax.Array, n_cols: int = 128) -> jax.Array:
+    """Scroll the waterfall down one row; new row 0 = |view[2x]| per column.
+
+    history: (..., MAX_WATERFALL, n_cols); view: (..., 256).
+    """
+    row = jnp.abs(view[..., : 2 * n_cols : 2])
+    return jnp.concatenate([row[..., None, :], history[..., :-1, :]], axis=-2)
+
+
+def classify_waterfall_colors(history: jax.Array) -> jax.Array:
+    """Color-class indices 0..6 (index into WATERFALL_COLORS) per cell."""
+    h = history
+    cls = jnp.full(h.shape, len(WATERFALL_THRESHOLDS), jnp.int32)  # black
+    for i, th in enumerate(reversed(WATERFALL_THRESHOLDS)):
+        cls = jnp.where(h >= th, len(WATERFALL_THRESHOLDS) - 1 - i, cls)
+    return cls
+
+
+_ASCII = " .:-=+*#@"
+
+
+def render_waterfall_ascii(history: np.ndarray, width: int = 128) -> str:
+    """Host-side renderer: the ILI9341 stand-in for terminals."""
+    h = np.asarray(history)[..., :width]
+    lo, hi = 0.0, max(80.0, float(h.max()) or 1.0)
+    idx = np.clip((h - lo) / (hi - lo) * (len(_ASCII) - 1), 0, len(_ASCII) - 1).astype(int)
+    return "\n".join("".join(_ASCII[c] for c in row) for row in idx)
+
+
+def render_spectrum_ascii(view: np.ndarray, width: int = 128, height: int = 16) -> str:
+    """Bar-scope renderer (the reference's green bar spectrum, clip at 80)."""
+    bars = np.clip(np.abs(np.asarray(view)[: 2 * width : 2]), 0, 80)
+    levels = (bars / 80.0 * height).astype(int)
+    rows = []
+    for r in range(height, 0, -1):
+        rows.append("".join("|" if l >= r else " " for l in levels))
+    return "\n".join(rows)

@@ -191,11 +191,10 @@ class ReceiverConfig:
         """Complex band-pass edges at the IQ stage (sideband selection)."""
         flt = self.effective_audio_filter
         lo, hi = flt.lo, flt.hi
-        if self.mode in (DemodMode.CW_NARROW, DemodMode.CW):
-            # CW: pass a band around the side-tone pitch
-            width = hi - lo
-            lo, hi = CW_PITCH_HZ - width / 2.0, CW_PITCH_HZ + width / 2.0
         sb = self.sideband
+        # CW is SSB with the side-tone offset applied at the LO; the CW_500
+        # audio preset is already centered on the pitch, so the plain sideband
+        # mapping places the passband correctly for every mode.
         if sb == "usb":
             return (lo, hi)
         if sb == "lsb":

@@ -101,8 +101,9 @@ def agc_envelope(mag: jax.Array, env0: jax.Array, release) -> tuple[jax.Array, j
             le, last = _envelope_chunk(chunk, carry, d)
             return last, le
 
-        last, les = jax.lax.scan(step, log_env0, chunks)
+        _, les = jax.lax.scan(step, log_env0, chunks)
         log_env = jnp.moveaxis(les, 0, -2).reshape(*log_a.shape[:-1], -1)[..., :n]
+        last = log_env[..., -1]
     return jnp.exp(log_env), jnp.exp(last)
 
 

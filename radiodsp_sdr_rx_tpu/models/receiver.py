@@ -79,17 +79,19 @@ class ReceiverState(NamedTuple):
 
 
 def init_state(fft_length: int = 256) -> ReceiverState:
+    """Fresh state with host NumPy leaves (no device compute at init; leaves
+    transfer on first jit call)."""
     half = fft_length // 2
     return ReceiverState(
-        nco_phase=jnp.uint32(0),
-        sb_tail=jnp.zeros(half, jnp.complex64),
-        audio_tail=jnp.zeros(half, jnp.complex64),
-        agc_env=jnp.float32(1e-6),
-        nb_avg=jnp.float32(0.0),
-        am_dc=jnp.zeros(2, jnp.float32),
+        nco_phase=np.uint32(0),
+        sb_tail=np.zeros(half, np.complex64),
+        audio_tail=np.zeros(half, np.complex64),
+        agc_env=np.float32(1e-6),
+        nb_avg=np.float32(0.0),
+        am_dc=np.zeros(2, np.float32),
         sam=demod_ops.sam_init(),
         lms=lms.lms_nr_init(),
-        nfloor=jnp.float32(0.0),
+        nfloor=np.float32(0.0),
     )
 
 
@@ -112,18 +114,18 @@ def build_params(config: ReceiverConfig) -> ReceiverParams:
 
     return ReceiverParams(
         nco_inc=nco.freq_to_phase_inc(config.nco_freq, config.sample_rate),
-        w_sideband=jnp.asarray(w_sb),
-        w_audio=jnp.asarray(w_audio),
-        agc_release=jnp.float32(agc_p.release),
-        agc_target=jnp.float32(agc_p.target),
-        agc_max_gain=jnp.float32(agc_p.max_gain),
-        agc_enabled=jnp.asarray(agc_p.enabled),
+        w_sideband=w_sb,
+        w_audio=w_audio,
+        agc_release=np.float32(agc_p.release),
+        agc_target=np.float32(agc_p.target),
+        agc_max_gain=np.float32(agc_p.max_gain),
+        agc_enabled=np.bool_(agc_p.enabled),
         lms_mu=lms.lms_mu_from_strength(max(config.nr.level, 1)),
-        nr_level=jnp.float32(config.nr.level),
-        nb_threshold_db=jnp.float32(config.nb_threshold_db),
-        input_gain=jnp.float32(config.input_gain),
-        output_gain=jnp.float32(config.output_gain),
-        iq_gain_balance=jnp.float32(config.iq_gain_balance),
+        nr_level=np.float32(config.nr.level),
+        nb_threshold_db=np.float32(config.nb_threshold_db),
+        input_gain=np.float32(config.input_gain),
+        output_gain=np.float32(config.output_gain),
+        iq_gain_balance=np.float32(config.iq_gain_balance),
     )
 
 
@@ -279,7 +281,7 @@ class ReceiverBank:
         self.config = config
         self.n_channels = len(freqs_hz)
         base = build_params(config)
-        incs = jnp.stack([
+        incs = np.stack([
             nco.freq_to_phase_inc(f - config.tuning_offset - config.capture_center_freq,
                                   config.sample_rate)
             for f in np.asarray(freqs_hz, np.float64)
@@ -303,7 +305,9 @@ class ReceiverBank:
     def init_state(self) -> ReceiverState:
         one = init_state(self.config.fft_length)
         return jax.tree.map(
-            lambda leaf: jnp.broadcast_to(leaf, (self.n_channels,) + leaf.shape).copy(),
+            lambda leaf: np.broadcast_to(
+                np.asarray(leaf), (self.n_channels,) + np.shape(leaf)
+            ).copy(),
             one,
         )
 

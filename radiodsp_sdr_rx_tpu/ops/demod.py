@@ -57,10 +57,13 @@ class SAMState(NamedTuple):
 
 
 def sam_init() -> SAMState:
+    """Host NumPy leaves — no device compute at init time."""
+    import numpy as np
+
     return SAMState(
-        phase=jnp.float32(0.0),
-        freq=jnp.float32(0.0),
-        dc=jnp.zeros(2, jnp.float32),
+        phase=np.float32(0.0),
+        freq=np.float32(0.0),
+        dc=np.zeros(2, np.float32),
     )
 
 

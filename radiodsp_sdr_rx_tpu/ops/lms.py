@@ -34,16 +34,18 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 LMS_TAPS = 96          # MAX_LMS_TAPS (RDSP_noise_reduction.h:23)
 LMS_DELAY = 128        # decorrelation delay (RDSP_noise_reduction.h:24)
 _EPS = 1.1920929e-7    # CMSIS DELTA for arm_lms_norm_f32
 
 
-def lms_mu_from_strength(strength) -> jax.Array:
-    """The reference's de-linearized dB mapping (RDSP_noise_reduction.h:48-56)."""
-    s = jnp.asarray(strength, jnp.float32)
-    return 1.0 / jnp.power(10.0, (s / 2.0 + 2.0) / 10.0)
+def lms_mu_from_strength(strength) -> np.float32:
+    """The reference's de-linearized dB mapping (RDSP_noise_reduction.h:48-56).
+    Host-side configuration math (NumPy)."""
+    s = np.asarray(strength, np.float64)
+    return np.float32(1.0 / np.power(10.0, (s / 2.0 + 2.0) / 10.0))
 
 
 class LMSState(NamedTuple):
@@ -54,12 +56,16 @@ class LMSState(NamedTuple):
 
 
 def lms_nr_init(taps: int = LMS_TAPS, delay: int = LMS_DELAY) -> LMSState:
-    """Fresh zeroed LMS state (reference Init_LMS_NR, RDSP_noise_reduction.h:35-64)."""
+    """Fresh zeroed LMS state (reference Init_LMS_NR, RDSP_noise_reduction.h:35-64).
+
+    Leaves are host NumPy arrays (pure data, no device compute at init time);
+    they move to device on first use as jit inputs.
+    """
     return LMSState(
-        weights=jnp.zeros(taps, jnp.float32),
-        window=jnp.zeros(taps, jnp.float32),
-        delay=jnp.zeros(delay, jnp.float32),
-        first=jnp.asarray(True),
+        weights=np.zeros(taps, np.float32),
+        window=np.zeros(taps, np.float32),
+        delay=np.zeros(delay, np.float32),
+        first=np.bool_(True),
     )
 
 

@@ -17,16 +17,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _TWO_POW_32 = 4294967296.0
-_PHASE_SCALE = jnp.float32(2.0 * jnp.pi / _TWO_POW_32)
+_PHASE_SCALE = np.float32(2.0 * np.pi / _TWO_POW_32)
 
 
-def freq_to_phase_inc(freq_hz, sample_rate: float) -> jax.Array:
-    """Convert a frequency in Hz to a uint32 phase increment (cycles * 2^32)."""
-    cycles = jnp.asarray(freq_hz, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32) / sample_rate
-    frac = cycles - jnp.floor(cycles)
-    return jnp.round(frac * _TWO_POW_32).astype(jnp.uint32)
+def freq_to_phase_inc(freq_hz, sample_rate: float) -> np.uint32:
+    """Convert a frequency in Hz to a uint32 phase increment (cycles * 2^32).
+
+    Host-side (NumPy, float64) — this is configuration math, not device
+    compute; the result feeds the jitted pipeline as a plain uint32.
+    """
+    cycles = np.asarray(freq_hz, np.float64) / sample_rate
+    frac = cycles - np.floor(cycles)
+    return (np.round(frac * _TWO_POW_32).astype(np.int64) % (1 << 32)).astype(np.uint32)
 
 
 def nco_phases(n: int, phase0: jax.Array, phase_inc: jax.Array) -> jax.Array:

@@ -1,0 +1,163 @@
+"""Distributed tests on the 8-device virtual CPU mesh (SURVEY.md §4):
+halo-exchange sharded output == single-device output."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from radiodsp_sdr_rx_tpu.models.config import AGCMode, DemodMode, ReceiverConfig
+from radiodsp_sdr_rx_tpu.models.receiver import Receiver, ReceiverBank, build_params
+from radiodsp_sdr_rx_tpu.ops import agc as agc_ops
+from radiodsp_sdr_rx_tpu.ops import fastconv, fir_design
+from radiodsp_sdr_rx_tpu.ops.iir import first_order_iir
+from radiodsp_sdr_rx_tpu.parallel import (
+    make_mesh,
+    make_time_sharded_ssb_chain,
+    shard_channel_bank,
+    sharded_agc_envelope,
+    sharded_first_order_iir,
+    sharded_overlap_save,
+)
+from radiodsp_sdr_rx_tpu.utils import siggen
+
+FS = 44117.64706
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_overlap_save_equals_single(rng):
+    mesh = make_mesh(channel=1, time=8)
+    mask = fir_design.design_filter_mask(300.0, 4000.0, FS)
+    w = jnp.asarray(fir_design.overlap_save_matrix_real(mask))
+    n = 8 * 2048
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+    y_single, _ = fastconv.overlap_save_filter(
+        jnp.asarray(x), w, jnp.zeros(128, jnp.complex64)
+    )
+
+    def local(xs, ws):
+        y, _ = sharded_overlap_save(xs, ws, jnp.zeros(128, jnp.complex64), "time")
+        return y
+
+    f = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(None, "time"), P()),
+                              out_specs=P(None, "time")))
+    y_sharded = f(jnp.asarray(x)[None, :], w)[0]
+    np.testing.assert_allclose(np.asarray(y_sharded), np.asarray(y_single), atol=1e-5)
+
+
+def test_sharded_iir_equals_single(rng):
+    mesh = make_mesh(channel=1, time=8)
+    n = 8 * 4096
+    x = rng.standard_normal(n).astype(np.float32)
+    a, b, y0 = 0.999, 0.001, 0.7
+
+    y_single, _ = first_order_iir(jnp.asarray(x), a, b, jnp.float32(y0))
+
+    def local(xs):
+        return sharded_first_order_iir(xs, a, b, jnp.float32(y0), "time")
+
+    f = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=P(None, "time"),
+                              out_specs=P(None, "time")))
+    y_sharded = f(jnp.asarray(x)[None, :])[0]
+    np.testing.assert_allclose(np.asarray(y_sharded), np.asarray(y_single),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_agc_envelope_equals_single(rng):
+    mesh = make_mesh(channel=1, time=8)
+    n = 8 * 4096
+    mag = np.abs(rng.standard_normal(n)).astype(np.float32)
+    release = 0.9996
+    env0 = 0.4
+
+    env_single, _ = agc_ops.agc_envelope(jnp.asarray(mag), jnp.float32(env0), release)
+
+    def local(ms):
+        return sharded_agc_envelope(ms, env0, release, "time")
+
+    f = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=P(None, "time"),
+                              out_specs=P(None, "time")))
+    env_sharded = f(jnp.asarray(mag)[None, :])[0]
+    np.testing.assert_allclose(np.asarray(env_sharded), np.asarray(env_single),
+                               rtol=5e-4)
+
+
+def test_time_sharded_full_chain_equals_single_device():
+    """The flagship equality: 8-way time-sharded USB chain == single device."""
+    n = 8 * 16384
+    audio_in = siggen.voice_like(n, FS)
+    iq = siggen.ssb_from_audio(audio_in, 10_000.0, FS, "usb", amp=0.4)
+
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, agc=AGCMode.FAST)
+    params = build_params(cfg)
+
+    # single-device reference chain (same stages, via the Receiver)
+    rx = Receiver(cfg)
+    out_single, _ = rx.process(jnp.asarray(iq), rx.init_state())
+
+    mesh = make_mesh(channel=1, time=8)
+    chain = make_time_sharded_ssb_chain(mesh, sample_rate=FS)
+    audio = chain(jnp.asarray(iq), params.nco_inc, params.w_sideband,
+                  params.w_audio, params.agc_release, params.agc_target,
+                  params.agc_max_gain, params.output_gain)
+    # tolerance: the parallel AGC envelope uses log/exp algebra whose f32
+    # rounding differs slightly from the sequential chunked path
+    np.testing.assert_allclose(np.asarray(audio),
+                               np.asarray(out_single["audio_l"]), atol=2e-3)
+
+
+def test_time_sharded_am_chain_equals_single_device():
+    n = 8 * 16384
+    iq = siggen.am_signal(n, 10_000.0, mod_hz=900.0, fs=FS)
+    cfg = ReceiverConfig(mode=DemodMode.AM, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, agc=AGCMode.MEDIUM)
+    params = build_params(cfg)
+    rx = Receiver(cfg)
+    out_single, _ = rx.process(jnp.asarray(iq), rx.init_state())
+
+    mesh = make_mesh(channel=1, time=8)
+    chain = make_time_sharded_ssb_chain(mesh, am=True, sample_rate=FS)
+    audio = chain(jnp.asarray(iq), params.nco_inc, params.w_sideband,
+                  params.w_audio, params.agc_release, params.agc_target,
+                  params.agc_max_gain, params.output_gain)
+    # tolerance: the parallel AGC envelope uses log/exp algebra whose f32
+    # rounding differs slightly from the sequential chunked path
+    np.testing.assert_allclose(np.asarray(audio),
+                               np.asarray(out_single["audio_l"]), atol=2e-3)
+
+
+def test_channel_sharded_bank_equals_unsharded():
+    n = 1 << 14
+    freqs = [7_050_000.0 + 2_000.0 * k for k in range(8)]
+    cfg = ReceiverConfig(mode=DemodMode.AM, vfo_freq=freqs[0],
+                         capture_center_freq=7_050_000.0, agc=AGCMode.OFF)
+    bank = ReceiverBank(cfg, freqs)
+    iq = jnp.asarray(siggen.am_signal(n, 6_000.0, mod_hz=700.0, fs=FS))
+    out_ref, _ = bank.process(iq, bank.init_state())
+
+    mesh = make_mesh(channel=8, time=1)
+    process = shard_channel_bank(bank, mesh)
+    iq_b = jnp.broadcast_to(iq, (8, n))
+    out_sharded, _ = process(iq_b, bank.init_state())
+    np.testing.assert_allclose(np.asarray(out_sharded["audio_l"]),
+                               np.asarray(out_ref["audio_l"]), atol=1e-5)
+
+
+def test_bank_metrics_collective():
+    """Bank-wide S-meter reduction across a sharded channel axis (psum path)."""
+    mesh = make_mesh(channel=8, time=1)
+
+    def local_power(x):
+        p = jnp.sum(jnp.abs(x) ** 2, axis=-1, keepdims=True)
+        return jax.lax.psum(p, "channel")
+
+    f = jax.jit(jax.shard_map(local_power, mesh=mesh,
+                              in_specs=P("channel", None), out_specs=P(None)))
+    x = jnp.ones((8, 128), jnp.float32)
+    out = f(x)
+    np.testing.assert_allclose(np.asarray(out), 8 * 128.0)

@@ -1,0 +1,109 @@
+"""Benchmark: full RX chain throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): IQ megasamples/s/chip through the FULL receive
+chain — preprocessor -> NCO mix -> sideband-select overlap-save band-pass (MXU
+matmul) -> SSB demod -> AGC -> PBT overlap-save audio filter -> output gain —
+on a 64-channel receiver bank (config 4 scale, single chip).
+
+vs_baseline: the reference is a hard-real-time appliance processing exactly
+44117.647 IQ samples/s on its Teensy 4.0 (SURVEY.md §6, BASELINE.md) — the
+only throughput it defines. vs_baseline therefore counts how many reference
+receivers' worth of IQ one chip sustains.
+
+Secondary metrics go to stderr (the driver records stdout only).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+SAMPLE_RATE = 44117.64706
+BASELINE_SAMPLES_PER_S = SAMPLE_RATE  # one real-time reference receiver
+
+N_CHANNELS = 128
+SEG_LEN = 1 << 19          # IQ samples per channel per invocation
+WARMUP = 2
+REPS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from radiodsp_sdr_rx_tpu.models.config import AGCMode, DemodMode, ReceiverConfig
+    from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
+
+    cfg = ReceiverConfig(
+        mode=DemodMode.USB,
+        vfo_freq=7_200_000.0,
+        capture_center_freq=7_190_000.0,
+        agc=AGCMode.MEDIUM,
+    )
+    freqs = [7_190_000.0 + 1_000.0 * k for k in range(N_CHANNELS)]
+    bank = ReceiverBank(cfg, freqs)
+    state = bank.init_state()
+
+    rng = np.random.default_rng(0)
+    iq_np = (
+        (rng.standard_normal((N_CHANNELS, SEG_LEN))
+         + 1j * rng.standard_normal((N_CHANNELS, SEG_LEN))).astype(np.complex64)
+        * 0.1
+    )
+    iq = jax.device_put(jnp.asarray(iq_np))
+
+    t_compile = time.perf_counter()
+    out, state = bank.process(iq, state)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t_compile
+    print(f"compile+first-run: {compile_s:.1f}s on {jax.devices()[0]}",
+          file=sys.stderr)
+
+    for _ in range(WARMUP):
+        out, state = bank.process(iq, state)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out, state = bank.process(iq, state)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    total_samples = N_CHANNELS * SEG_LEN * REPS
+    samples_per_s = total_samples / elapsed
+    msps = samples_per_s / 1e6
+
+    print(
+        f"{N_CHANNELS} ch x {SEG_LEN} samp x {REPS} reps in {elapsed:.3f}s "
+        f"-> {msps:.1f} Msamples/s/chip "
+        f"({samples_per_s / SAMPLE_RATE / N_CHANNELS:.1f}x real time per channel)",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": "full_rx_chain_iq_throughput",
+        "value": round(msps, 2),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    # The TPU pool relay is occasionally flaky (transient UNIMPLEMENTED /
+    # hangs on session setup); retry a couple of times before giving up.
+    last_err = None
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            print(f"bench attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            time.sleep(10)
+    else:
+        raise last_err

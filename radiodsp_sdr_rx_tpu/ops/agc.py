@@ -37,8 +37,11 @@ class AGCParams(NamedTuple):
 
 def _preset(release_time_s: float, sample_rate: float, target=0.5, max_gain=316.0):
     # release such that envelope decays by 1/e over release_time_s
+    # (host math — configuration must never touch the device)
+    import math
+
     return AGCParams(
-        release=float(jnp.exp(-1.0 / (release_time_s * sample_rate))),
+        release=math.exp(-1.0 / (release_time_s * sample_rate)),
         target=target,
         max_gain=max_gain,
     )

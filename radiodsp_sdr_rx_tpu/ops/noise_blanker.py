@@ -29,8 +29,10 @@ def noise_blanker(
     avg0: (...,) running-average-magnitude carry
     Returns (blanked_iq, new_avg).
     """
+    import math
+
     mag = jnp.abs(iq)
-    a = float(jnp.exp(-1.0 / tau_samples))
+    a = math.exp(-1.0 / tau_samples)
     avg, avg_last = first_order_iir(mag, a, 1.0 - a, avg0)
     thresh = 10.0 ** (threshold_db / 20.0)
     keep = mag <= (avg * thresh + 1e-12)

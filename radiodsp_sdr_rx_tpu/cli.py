@@ -1,0 +1,189 @@
+"""Command-line receiver app — the framework's equivalent of the reference
+appliance (tune, demodulate, scope), file-driven instead of antenna-driven.
+
+  python -m radiodsp_sdr_rx_tpu demod capture.wav --mode usb \
+      --vfo 7200000 --center 7190000 --out audio.wav
+  python -m radiodsp_sdr_rx_tpu scope capture.wav --center 7050000
+  python -m radiodsp_sdr_rx_tpu stream capture.wav --mode usb ...   (native ring feeder)
+
+Mirrors the reference's control surface (mode/filter/AGC/NR/PBT/step,
+RDSP_controls.h) as flags instead of a rotary encoder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _add_rx_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("input", help="IQ capture: stereo WAV (L=I, R=Q) or raw cs16")
+    p.add_argument("--mode", default="usb",
+                   choices=["cw-n", "cw", "usb", "lsb", "am", "sam", "rtty"])
+    p.add_argument("--vfo", type=float, default=None,
+                   help="tuned frequency Hz (default: capture center)")
+    p.add_argument("--center", type=float, default=7_050_000.0,
+                   help="RF center frequency of the capture")
+    p.add_argument("--agc", default="medium", choices=["off", "fast", "medium", "slow"])
+    p.add_argument("--nr", default="off",
+                   choices=["off", "notch", "dnr1", "dnr2", "dnr3", "dnr4",
+                            "spec1", "spec2", "spec3", "spec4"])
+    p.add_argument("--pbt-lo", type=float, default=300.0)
+    p.add_argument("--pbt-hi", type=float, default=4000.0)
+    p.add_argument("--raw", action="store_true", help="input is raw cs16")
+
+
+_MODE_MAP = {
+    "cw-n": "CW_NARROW", "cw": "CW", "usb": "USB", "lsb": "LSB",
+    "am": "AM", "sam": "SAM", "rtty": "RTTY",
+}
+
+
+def _build_receiver(args):
+    from radiodsp_sdr_rx_tpu.models.config import (
+        AGCMode, DemodMode, NRMode, ReceiverConfig,
+    )
+    from radiodsp_sdr_rx_tpu.models.receiver import Receiver
+
+    vfo = args.vfo if args.vfo is not None else args.center
+    cfg = ReceiverConfig(
+        mode=DemodMode[_MODE_MAP[args.mode]],
+        vfo_freq=vfo,
+        capture_center_freq=args.center,
+        agc=AGCMode[args.agc.upper()],
+        nr=NRMode[args.nr.upper()],
+        pbt_lo=args.pbt_lo,
+        pbt_hi=args.pbt_hi,
+    )
+    return Receiver(cfg), cfg
+
+
+def _load_iq(args):
+    from radiodsp_sdr_rx_tpu.utils import io as io_utils
+
+    if args.raw or args.input.endswith((".cs16", ".raw", ".iq")):
+        return io_utils.read_raw_iq(args.input), 44117.64706
+    return io_utils.read_iq_wav(args.input)
+
+
+def cmd_demod(args) -> int:
+    import jax.numpy as jnp
+
+    from radiodsp_sdr_rx_tpu.utils import io as io_utils
+
+    iq, fs = _load_iq(args)
+    n = (len(iq) // 128) * 128
+    iq = iq[:n]
+    rx, cfg = _build_receiver(args)
+    t0 = time.perf_counter()
+    out, _ = rx.process(jnp.asarray(iq), rx.init_state())
+    audio = np.stack([np.asarray(out["audio_l"]), np.asarray(out["audio_r"])], 1)
+    dt = time.perf_counter() - t0
+    io_utils.write_wav(args.out, audio, fs)
+    rt = n / fs
+    print(f"{args.input}: {n} samples ({rt:.1f}s) {cfg.mode.value} @ "
+          f"{cfg.vfo_freq/1e6:.6f} MHz -> {args.out} "
+          f"[{dt:.2f}s, {rt/dt:.0f}x real time]")
+    return 0
+
+
+def cmd_scope(args) -> int:
+    import jax.numpy as jnp
+
+    from radiodsp_sdr_rx_tpu.models.metrics import analyze, scope_init
+    from radiodsp_sdr_rx_tpu.utils.display import (
+        render_spectrum_ascii, render_waterfall_ascii,
+    )
+
+    iq, fs = _load_iq(args)
+    n = min(len(iq), 128 * 30 * 40)
+    n = (n // 128) * 128
+    audio = np.zeros(max((n // 512) * 512, 512), np.float32)
+    m, _ = analyze(jnp.asarray(iq[:n]), jnp.asarray(audio), scope_init(),
+                   sample_rate=fs)
+    span = fs / 1e3
+    print(f"panadapter: ±{span/2:.1f} kHz around {args.center/1e6:.6f} MHz")
+    print(render_spectrum_ascii(np.asarray(m["view"])))
+    print("-" * 128)
+    print(render_waterfall_ascii(np.asarray(m["waterfall"])))
+    s = float(m["s_units"])
+    plus = float(m["s9_plus_db"])
+    print(f"S-meter: S{s:.0f}" + (f"+{plus:.0f}dB" if plus > 0 else ""))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """Real-time-style streaming through the native ring-buffer feeder."""
+    import jax.numpy as jnp
+
+    from radiodsp_sdr_rx_tpu.utils import io as io_utils
+    from radiodsp_sdr_rx_tpu.utils import native_io
+
+    iq, fs = _load_iq(args)
+    rx, cfg = _build_receiver(args)
+    ring = native_io.IQRing(1 << 16)
+    block = args.block
+    state = rx.init_state()
+    outs = []
+    pos = 0
+    t0 = time.perf_counter()
+    while pos < len(iq) or ring.available >= block:
+        # producer side (capture thread stand-in)
+        if pos < len(iq):
+            pushed = ring.push_complex(iq[pos : pos + block])
+            pos += pushed if pushed else block  # dropped samples count upstream
+        # consumer side: drain in model blocks
+        while ring.available >= block:
+            seg = ring.pop_complex(block)
+            out, state = rx.process(jnp.asarray(seg), state)
+            outs.append(np.asarray(out["audio_l"]))
+    audio = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+    dt = time.perf_counter() - t0
+    io_utils.write_wav(args.out, audio, fs)
+    stats = ring.stats
+    print(f"streamed {stats['popped']} samples in {dt:.2f}s "
+          f"(dropped {stats['dropped']}) -> {args.out}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from radiodsp_sdr_rx_tpu import __version__
+
+    print(f"radiodsp_sdr_rx_tpu {__version__}")
+    print(f"jax {jax.__version__}, devices: {jax.devices()}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="radiodsp_sdr_rx_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("demod", help="demodulate an IQ capture to audio WAV")
+    _add_rx_args(p)
+    p.add_argument("--out", default="audio.wav")
+    p.set_defaults(fn=cmd_demod)
+
+    p = sub.add_parser("scope", help="render panadapter + waterfall + S-meter")
+    _add_rx_args(p)
+    p.set_defaults(fn=cmd_scope)
+
+    p = sub.add_parser("stream", help="demodulate via the native ring feeder")
+    _add_rx_args(p)
+    p.add_argument("--out", default="audio.wav")
+    p.add_argument("--block", type=int, default=16384)
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("info", help="version + device info")
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,11 +40,21 @@ def iq_panadapter_bin_order(n: int = 256) -> np.ndarray:
     return (n - 1 - j) ^ (n // 2)
 
 
-def _frames_50pct(x: jax.Array, frame: int) -> jax.Array:
-    """Frames of length ``frame`` at stride frame/2 over the last axis."""
+def _frames_50pct(x: jax.Array, frame: int, tail: jax.Array | None = None) -> jax.Array:
+    """Frames of length ``frame`` at stride frame/2 over the last axis.
+
+    With ``tail`` (the previous segment's last half-frame — the reference's
+    carried ``prevblock``, analyze_fft256iq.cpp:73-79, 114-117) the framing is
+    streaming-exact: frame b = [block b-1 | block b] with the tail standing in
+    for block -1, yielding one frame per input block. Without it, frames are
+    formed within the segment only (nb-1 frames).
+    """
     block = frame // 2
     nb = x.shape[-1] // block
     blocks = x[..., : nb * block].reshape(*x.shape[:-1], nb, block)
+    if tail is not None:
+        prev = jnp.concatenate([tail[..., None, :], blocks[..., :-1, :]], axis=-2)
+        return jnp.concatenate([prev, blocks], axis=-1)
     return jnp.concatenate([blocks[..., :-1, :], blocks[..., 1:, :]], axis=-1)
 
 
@@ -52,6 +62,7 @@ def iq_spectrum_frames(
     iq: jax.Array,
     naverage: int = 30,
     window: jax.Array | None = None,
+    tail: jax.Array | None = None,
 ) -> jax.Array:
     """Panadapter spectra for a complex IQ stream.
 
@@ -63,7 +74,7 @@ def iq_spectrum_frames(
     fft_len = 256
     if window is None:
         window = jnp.asarray(hann_periodic(fft_len), jnp.float32)
-    frames = _frames_50pct(iq, fft_len) * window
+    frames = _frames_50pct(iq, fft_len, tail) * window
     spec = jnp.fft.fft(frames, axis=-1) / fft_len
     magsq = jnp.abs(spec) ** 2
 
@@ -82,6 +93,7 @@ def audio_spectrum_frames(
     audio: jax.Array,
     naverage: int = 30,
     window: jax.Array | None = None,
+    tail: jax.Array | None = None,
 ) -> jax.Array:
     """1024-pt audio scope spectra (AudioAnalyzeFFT1024 equivalent).
 
@@ -92,7 +104,7 @@ def audio_spectrum_frames(
     fft_len = 1024
     if window is None:
         window = jnp.asarray(hann_periodic(fft_len), jnp.float32)
-    frames = _frames_50pct(audio, fft_len) * window
+    frames = _frames_50pct(audio, fft_len, tail) * window
     spec = jnp.fft.rfft(frames, axis=-1)[..., : fft_len // 2] / fft_len
     magsq = jnp.abs(spec) ** 2
 

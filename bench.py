@@ -4,14 +4,19 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric (BASELINE.json): IQ megasamples/s/chip through the FULL receive
-chain — preprocessor -> NCO mix -> sideband-select overlap-save band-pass (MXU
-matmul) -> SSB demod -> AGC -> PBT overlap-save audio filter -> output gain —
-on a 64-channel receiver bank (config 4 scale, single chip).
+chain — preprocessor -> NCO mix -> sideband band-pass + fused SSB demod (MXU
+collapsed overlap-save operator) -> AGC -> PBT audio filter -> output gain —
+on a 128-channel receiver bank (planar f32 pipeline, single chip).
 
 vs_baseline: the reference is a hard-real-time appliance processing exactly
 44117.647 IQ samples/s on its Teensy 4.0 (SURVEY.md §6, BASELINE.md) — the
 only throughput it defines. vs_baseline therefore counts how many reference
 receivers' worth of IQ one chip sustains.
+
+Timing methodology: this deployment runtime's ``block_until_ready`` does not
+actually block, so throughput is measured over a *data-dependent chain* of
+invocations (receiver state threads call-to-call) closed by a scalar readback
+that forces the whole chain to completion. Inputs are device-resident.
 
 Secondary metrics go to stderr (the driver records stdout only).
 """
@@ -47,31 +52,32 @@ def main() -> None:
     )
     freqs = [7_190_000.0 + 1_000.0 * k for k in range(N_CHANNELS)]
     bank = ReceiverBank(cfg, freqs)
-    state = bank.init_state()
+    state = jax.device_put(bank.init_state())
 
     rng = np.random.default_rng(0)
-    iq_np = (
-        (rng.standard_normal((N_CHANNELS, SEG_LEN))
-         + 1j * rng.standard_normal((N_CHANNELS, SEG_LEN))).astype(np.complex64)
-        * 0.1
-    )
-    iq = jax.device_put(jnp.asarray(iq_np))
+    xr = jax.device_put(rng.standard_normal((N_CHANNELS, SEG_LEN))
+                        .astype(np.float32) * 0.1)
+    xi = jax.device_put(rng.standard_normal((N_CHANNELS, SEG_LEN))
+                        .astype(np.float32) * 0.1)
+    force = jax.jit(lambda o: jnp.sum(o["audio_l"]))
 
     t_compile = time.perf_counter()
-    out, state = bank.process(iq, state)
-    jax.block_until_ready(out)
+    out, state = bank.process_planar(xr, xi, state)
+    checksum = float(force(out))
     compile_s = time.perf_counter() - t_compile
-    print(f"compile+first-run: {compile_s:.1f}s on {jax.devices()[0]}",
-          file=sys.stderr)
+    print(f"compile+first-run: {compile_s:.1f}s on {jax.devices()[0]} "
+          f"(checksum {checksum:.4f})", file=sys.stderr)
+    if not np.isfinite(checksum):
+        raise RuntimeError("non-finite bench output")
 
     for _ in range(WARMUP):
-        out, state = bank.process(iq, state)
-    jax.block_until_ready(out)
+        out, state = bank.process_planar(xr, xi, state)
+    float(force(out))
 
     t0 = time.perf_counter()
     for _ in range(REPS):
-        out, state = bank.process(iq, state)
-    jax.block_until_ready(out)
+        out, state = bank.process_planar(xr, xi, state)
+    float(force(out))   # forces the whole dependent chain
     elapsed = time.perf_counter() - t0
 
     total_samples = N_CHANNELS * SEG_LEN * REPS

@@ -8,18 +8,24 @@ envelope, LMS weights, PLL phase, noise floor) becomes an explicit
 ``ReceiverState`` pytree — checkpointable, shardable, and race-free by
 construction (SURVEY.md §5).
 
+Layout: the device pipeline is **planar f32** — complex64 exists only at the
+host boundary (ops/planar.py). IQ enters as two f32 planes; every filter is a
+collapsed overlap-save operator on the MXU; SSB demod fuses into the filter
+matmul (half-width operator). This is the layout TPU lanes and the MXU want,
+and the only one the deployment runtime executes for.
+
 Chain (mirrors the reference signal path, SURVEY.md §3.2-3.3):
 
   IQ capture -> preprocessor (gain balance)            [AudioSDRpreProcessor]
      -> noise blanker (optional)                        [AudioSDR NB]
      -> NCO mix (digital LO; replaces Si5351+QSD)       [sendFreq analog LO]
-     -> complex band-pass (sideband select, MXU matmul) [AudioSDR demod filters]
-     -> demod: SSB Re(z) / AM |z| / SAM PLL             [AudioSDR demod]
+     -> sideband band-pass (+ fused SSB demod) on MXU   [AudioSDR demod+filters]
+        or band-pass -> AM |z| / SAM PLL                [AudioSDR demod]
      -> LMS auto-notch (NOTCH mode)                     [AudioSDR ALS]
      -> AGC                                             [AudioSDR AGC]
      -> audio passband (PBT) overlap-save filter        [doConvolutionalProcessing]
      -> LMS denoise (DNR modes, x1.1 makeup, R<-L)      [RDSP_convolutional.h:326-337]
-        or spectral subtraction (SPEC modes)            [backup engine]
+        or spectral subtraction (SPEC modes, DFT matmul) [backup engine]
      -> output gain (0.5), optional q15 quantization    [arm_float_to_q15]
 
 Mode/NR selection is static (the pipeline re-specializes under jit, exactly as
@@ -38,20 +44,21 @@ import jax.numpy as jnp
 
 from radiodsp_sdr_rx_tpu.models.config import DemodMode, NRMode, ReceiverConfig
 from radiodsp_sdr_rx_tpu.ops import agc as agc_ops
-from radiodsp_sdr_rx_tpu.ops import demod as demod_ops
-from radiodsp_sdr_rx_tpu.ops import fastconv, fir_design, lms, nco
-from radiodsp_sdr_rx_tpu.ops import noise_blanker as nb_ops
-from radiodsp_sdr_rx_tpu.ops import preprocessor as pre_ops
-from radiodsp_sdr_rx_tpu.ops import spectral_sub
+from radiodsp_sdr_rx_tpu.ops import fir_design, lms, nco, planar
+from radiodsp_sdr_rx_tpu.ops import pallas_kernels
 from radiodsp_sdr_rx_tpu.ops.qformat import quantize_q15
 
 
 class ReceiverParams(NamedTuple):
     """Dynamic (retunable without recompilation) pipeline parameters."""
 
-    nco_inc: jax.Array       # uint32 DDS increment
-    w_sideband: jax.Array    # (2F, F) f32 collapsed overlap-save op, IQ stage
-    w_audio: jax.Array       # (2F, F) f32 collapsed overlap-save op, PBT stage
+    nco_inc: jax.Array       # uint32 DDS increment (int32-word view used on device)
+    w_sideband: jax.Array    # (2F, F) f32 collapsed overlap-save op (AM/SAM path)
+    w_ssb: jax.Array         # (2F, F/2) f32 fused sideband-filter+SSB-demod op
+    w_pbt: jax.Array         # (F, F) f32 PBT stage operator -> [L|R]
+    w_audio: jax.Array       # (2F, F) f32 generic audio operator (sharding layer)
+    dft_cos: jax.Array       # (F, F) f32 DFT matrices (spectral subtraction)
+    dft_sin: jax.Array
     agc_release: jax.Array   # f32
     agc_target: jax.Array    # f32
     agc_max_gain: jax.Array  # f32
@@ -65,15 +72,19 @@ class ReceiverParams(NamedTuple):
 
 
 class ReceiverState(NamedTuple):
-    """All carried DSP state — the checkpointable pytree (SURVEY.md §5)."""
+    """All carried DSP state — the checkpointable pytree (SURVEY.md §5).
+    Planar f32 leaves only (plus integer phase word)."""
 
-    nco_phase: jax.Array     # uint32
-    sb_tail: jax.Array       # (F/2,) complex64 — IQ-stage overlap-save carry
-    audio_tail: jax.Array    # (F/2,) complex64 — PBT-stage carry
+    nco_phase: jax.Array     # uint32 DDS phase word
+    sb_tail_r: jax.Array     # (F/2,) f32 — IQ-stage overlap-save carry
+    sb_tail_i: jax.Array     # (F/2,)
+    audio_tail: jax.Array    # (F/2,) f32 — PBT-stage carry
+    spec_tail_l: jax.Array   # (F/2,) f32 — spectral-subtraction frame carries
+    spec_tail_r: jax.Array
     agc_env: jax.Array       # f32
     nb_avg: jax.Array        # f32
     am_dc: jax.Array         # (2,) f32 DC-blocker carry
-    sam: demod_ops.SAMState
+    sam: planar.SAMStatePlanar
     lms: lms.LMSState
     nfloor: jax.Array        # f32 spectral-subtraction noise-floor carry
 
@@ -84,12 +95,15 @@ def init_state(fft_length: int = 256) -> ReceiverState:
     half = fft_length // 2
     return ReceiverState(
         nco_phase=np.uint32(0),
-        sb_tail=np.zeros(half, np.complex64),
-        audio_tail=np.zeros(half, np.complex64),
+        sb_tail_r=np.zeros(half, np.float32),
+        sb_tail_i=np.zeros(half, np.float32),
+        audio_tail=np.zeros(half, np.float32),
+        spec_tail_l=np.zeros(half, np.float32),
+        spec_tail_r=np.zeros(half, np.float32),
         agc_env=np.float32(1e-6),
         nb_avg=np.float32(0.0),
         am_dc=np.zeros(2, np.float32),
-        sam=demod_ops.sam_init(),
+        sam=planar.sam_init_planar(),
         lms=lms.lms_nr_init(),
         nfloor=np.float32(0.0),
     )
@@ -102,20 +116,21 @@ def build_params(config: ReceiverConfig) -> ReceiverParams:
     mask_sb = fir_design.design_filter_mask(
         lo, hi, config.sample_rate, config.fft_length, window_id=int(config.fir_window)
     )
-    w_sb = fir_design.overlap_save_matrix_real(mask_sb)
-
     mask_audio = fir_design.design_filter_mask(
         config.pbt_lo, config.pbt_hi, config.sample_rate, config.fft_length,
         window_id=int(config.fir_window),
     )
-    w_audio = fir_design.overlap_save_matrix_real(mask_audio)
-
+    dft_c, dft_s = planar.dft_matrices(config.fft_length)
     agc_p = agc_ops.agc_presets(config.sample_rate)[config.agc.value]
 
     return ReceiverParams(
         nco_inc=nco.freq_to_phase_inc(config.nco_freq, config.sample_rate),
-        w_sideband=w_sb,
-        w_audio=w_audio,
+        w_sideband=fir_design.overlap_save_matrix_real(mask_sb),
+        w_ssb=pallas_kernels.ssb_demod_operator(mask_sb),
+        w_pbt=pallas_kernels.pbt_operator(mask_audio),
+        w_audio=fir_design.overlap_save_matrix_real(mask_audio),
+        dft_cos=dft_c,
+        dft_sin=dft_s,
         agc_release=np.float32(agc_p.release),
         agc_target=np.float32(agc_p.target),
         agc_max_gain=np.float32(agc_p.max_gain),
@@ -132,7 +147,8 @@ def build_params(config: ReceiverConfig) -> ReceiverParams:
 def rx_chain(
     params: ReceiverParams,
     state: ReceiverState,
-    iq: jax.Array,
+    xr: jax.Array,
+    xi: jax.Array,
     *,
     mode: DemodMode,
     nr: NRMode,
@@ -141,41 +157,53 @@ def rx_chain(
     fft_length: int = 256,
     sample_rate: float = 44117.64706,
 ) -> tuple[dict, ReceiverState]:
-    """One pipeline invocation over a segment of IQ samples.
+    """One pipeline invocation over a segment of planar IQ samples.
 
-    iq: (n,) complex64, n a multiple of fft_length/2. Keyword args are static.
-    Returns ({'audio_l', 'audio_r'}, new_state).
+    xr, xi: (n,) f32 planes, n a multiple of fft_length/2. Keyword args are
+    static. Returns ({'audio_l', 'audio_r'}, new_state).
     """
     # --- preprocessor: input gain + IQ gain balance (ino:133-135)
-    z = pre_ops.iq_gain_balance(iq * params.input_gain, params.iq_gain_balance)
+    xr = xr * params.input_gain
+    xi = xi * params.input_gain
+    xr, xi = planar.iq_gain_balance_planar(xr, xi, params.iq_gain_balance)
 
     # --- noise blanker (optional, AudioSDR NB)
     nb_avg = state.nb_avg
     if noise_blanker:
-        z, nb_avg = nb_ops.noise_blanker(z, nb_avg, params.nb_threshold_db)
+        xr, xi, nb_avg = planar.noise_blanker_planar(
+            xr, xi, nb_avg, params.nb_threshold_db
+        )
 
     # --- digital LO: quadrature DDC (replaces Si5351 sendFreq)
-    z, nco_phase = nco.nco_mix(z, state.nco_phase, params.nco_inc)
+    xr, xi, nco_phase = planar.nco_mix_planar(xr, xi, state.nco_phase,
+                                              params.nco_inc)
 
-    # --- sideband-select complex band-pass: one MXU matmul over all frames
-    z, sb_tail = fastconv.overlap_save_filter(z, params.w_sideband, state.sb_tail)
-
-    # --- demodulate (static mode selection -> specialized pipeline)
+    # --- sideband band-pass + demod (static mode -> specialized pipeline)
     am_dc, sam_state = state.am_dc, state.sam
     if mode in (DemodMode.USB, DemodMode.LSB, DemodMode.RTTY,
                 DemodMode.CW, DemodMode.CW_NARROW):
-        audio = demod_ops.demod_ssb(z)
-    elif mode == DemodMode.AM:
-        audio, am_dc = demod_ops.demod_am(z, am_dc)
-    elif mode == DemodMode.SAM:
-        audio, sam_state = demod_ops.demod_sam(z, sam_state, sample_rate=sample_rate)
+        # fused half-width operator: filter + 2*Re in one MXU matmul
+        audio, sb_tail_r, sb_tail_i = planar.ssb_filter_demod_planar(
+            xr, xi, params.w_ssb, state.sb_tail_r, state.sb_tail_i
+        )
+    elif mode in (DemodMode.AM, DemodMode.SAM):
+        zr, zi, sb_tail_r, sb_tail_i = planar.overlap_save_filter_planar(
+            xr, xi, params.w_sideband, state.sb_tail_r, state.sb_tail_i
+        )
+        if mode == DemodMode.AM:
+            audio, am_dc = planar.demod_am_planar(zr, zi, am_dc)
+        else:
+            audio, sam_state = planar.demod_sam_planar(
+                zr, zi, sam_state, sample_rate=sample_rate
+            )
     else:
         raise ValueError(f"unsupported mode {mode}")
 
     # --- LMS auto-notch (ALS filter inside the SDR block, pre-conv)
     lms_state = state.lms
     if nr.kind == "notch":
-        audio, lms_state = lms.lms_nr_run(audio, lms_state, params.lms_mu, mode="notch")
+        audio, lms_state = lms.lms_nr_run(audio, lms_state, params.lms_mu,
+                                          mode="notch")
 
     # --- AGC
     agc_params = agc_ops.AGCParams(
@@ -184,29 +212,27 @@ def rx_chain(
     )
     audio, agc_env = agc_ops.agc_run(audio, agc_params, state.agc_env)
 
-    # --- PBT audio passband via overlap-save, reference conv-engine layout:
-    # z = L + jR with L = R = mono audio (RDSP_convolutional.h:228-318)
-    za = jax.lax.complex(audio, audio)
-    za, audio_tail = fastconv.overlap_save_filter(za, params.w_audio, state.audio_tail)
-    audio_l, audio_r = za.real, za.imag
+    # --- PBT audio passband, reference conv-engine layout (z = L + jR, L = R,
+    # RDSP_convolutional.h:228-318) as one [L|R] matmul
+    audio_l, audio_r, audio_tail = planar.pbt_filter_planar(
+        audio, params.w_pbt, state.audio_tail
+    )
 
     # --- noise reduction stage (post-conv, like the reference main loop)
     nfloor = state.nfloor
+    spec_tail_l, spec_tail_r = state.spec_tail_l, state.spec_tail_r
     if nr.kind == "lms":
         audio_l, lms_state = lms.lms_nr_run(audio_l, lms_state, params.lms_mu,
                                             mode="denoise")
         audio_l = audio_l * 1.1          # makeup gain (RDSP_convolutional.h:334)
         audio_r = audio_l                # mono copy R<-L (:335)
     elif nr.kind == "spectral":
-        frames = fastconv.frame_overlap_save(
-            jax.lax.complex(audio_l, audio_r),
-            jnp.zeros(fft_length // 2, jnp.complex64),
+        audio_l, audio_r, nfloor, spec_tail_l, spec_tail_r = (
+            planar.spectral_subtract_planar(
+                audio_l, audio_r, params.nr_level, nfloor,
+                params.dft_cos, params.dft_sin, spec_tail_l, spec_tail_r,
+            )
         )
-        out, nfloor = spectral_sub.spectral_subtract_frames(
-            frames, params.nr_level, nfloor
-        )
-        flat = out.reshape(-1)
-        audio_l, audio_r = flat.real, flat.imag
 
     # --- output gain + optional q15 boundary quantization
     audio_l = audio_l * params.output_gain
@@ -215,20 +241,33 @@ def rx_chain(
         audio_l, audio_r = quantize_q15(audio_l), quantize_q15(audio_r)
 
     new_state = ReceiverState(
-        nco_phase=nco_phase, sb_tail=sb_tail, audio_tail=audio_tail,
+        nco_phase=nco_phase, sb_tail_r=sb_tail_r, sb_tail_i=sb_tail_i,
+        audio_tail=audio_tail, spec_tail_l=spec_tail_l, spec_tail_r=spec_tail_r,
         agc_env=agc_env, nb_avg=nb_avg, am_dc=am_dc, sam=sam_state,
         lms=lms_state, nfloor=nfloor,
     )
     return {"audio_l": audio_l, "audio_r": audio_r}, new_state
 
 
+def _split_planar(iq) -> tuple[jax.Array, jax.Array]:
+    """Host-boundary complex -> planar conversion. NumPy inputs split on host
+    (free); device arrays split with device ops (CPU backends only)."""
+    if isinstance(iq, np.ndarray):
+        return (np.ascontiguousarray(iq.real).astype(np.float32, copy=False),
+                np.ascontiguousarray(iq.imag).astype(np.float32, copy=False))
+    if jnp.iscomplexobj(iq):
+        return iq.real.astype(jnp.float32), iq.imag.astype(jnp.float32)
+    return iq, jnp.zeros_like(iq)
+
+
 class Receiver:
-    """Single-channel receiver: config -> jitted pipeline.
+    """Single-channel receiver: config -> jitted planar pipeline.
 
     >>> rx = Receiver(ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_200_000,
     ...                              capture_center_freq=7_190_000))
     >>> state = rx.init_state()
-    >>> out, state = rx.process(iq_segment, state)
+    >>> out, state = rx.process(iq_segment, state)   # complex at the boundary
+    >>> out, state = rx.process_planar(xr, xi, state)  # planar device-native
     """
 
     def __init__(self, config: ReceiverConfig):
@@ -239,7 +278,7 @@ class Receiver:
             quantize_output=config.quantize_output, fft_length=config.fft_length,
             sample_rate=config.sample_rate,
         )
-        self._fn = jax.jit(lambda p, s, x: rx_chain(p, s, x, **statics))
+        self._fn = jax.jit(lambda p, s, xr, xi: rx_chain(p, s, xr, xi, **statics))
 
     def init_state(self) -> ReceiverState:
         return init_state(self.config.fft_length)
@@ -264,8 +303,12 @@ class Receiver:
             return new_rx
         return Receiver(new_config)
 
-    def process(self, iq: jax.Array, state: ReceiverState):
-        return self._fn(self.params, state, iq)
+    def process(self, iq, state: ReceiverState):
+        xr, xi = _split_planar(iq)
+        return self._fn(self.params, state, xr, xi)
+
+    def process_planar(self, xr, xi, state: ReceiverState):
+        return self._fn(self.params, state, xr, xi)
 
 
 class ReceiverBank:
@@ -292,14 +335,16 @@ class ReceiverBank:
             quantize_output=config.quantize_output, fft_length=config.fft_length,
             sample_rate=config.sample_rate,
         )
-        in_axes = (ReceiverParams(
-            nco_inc=0, w_sideband=None, w_audio=None, agc_release=None,
+        axes = ReceiverParams(
+            nco_inc=0, w_sideband=None, w_ssb=None, w_pbt=None, w_audio=None,
+            dft_cos=None, dft_sin=None, agc_release=None,
             agc_target=None, agc_max_gain=None, agc_enabled=None, lms_mu=None,
             nr_level=None, nb_threshold_db=None, input_gain=None,
             output_gain=None, iq_gain_balance=None,
-        ), 0, 0)
+        )
         self._fn = jax.jit(
-            jax.vmap(lambda p, s, x: rx_chain(p, s, x, **statics), in_axes=in_axes)
+            jax.vmap(lambda p, s, xr, xi: rx_chain(p, s, xr, xi, **statics),
+                     in_axes=(axes, 0, 0, 0))
         )
 
     def init_state(self) -> ReceiverState:
@@ -311,8 +356,14 @@ class ReceiverBank:
             one,
         )
 
-    def process(self, iq: jax.Array, state: ReceiverState):
-        """iq: (n_channels, n) or (n,) broadcast to all channels."""
-        if iq.ndim == 1:
-            iq = jnp.broadcast_to(iq, (self.n_channels,) + iq.shape)
-        return self._fn(self.params, state, iq)
+    def process(self, iq, state: ReceiverState):
+        """iq: (n_channels, n) or (n,) broadcast to all channels (complex at
+        the boundary, numpy preferred so the split stays on host)."""
+        xr, xi = _split_planar(iq)
+        if xr.ndim == 1:
+            xr = jnp.broadcast_to(xr, (self.n_channels,) + xr.shape)
+            xi = jnp.broadcast_to(xi, (self.n_channels,) + xi.shape)
+        return self._fn(self.params, state, xr, xi)
+
+    def process_planar(self, xr, xi, state: ReceiverState):
+        return self._fn(self.params, state, xr, xi)

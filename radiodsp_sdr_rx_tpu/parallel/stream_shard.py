@@ -247,15 +247,23 @@ def shard_channel_bank(bank, mesh: Mesh, axis_name: str = "channel"):
     chan = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
 
-    params = bank.params._replace(
-        nco_inc=jax.device_put(bank.params.nco_inc, chan),
-        w_sideband=jax.device_put(bank.params.w_sideband, repl),
-        w_audio=jax.device_put(bank.params.w_audio, repl),
-    )
+    params = jax.tree.map(
+        lambda leaf: jax.device_put(leaf, repl), bank.params
+    )._replace(nco_inc=jax.device_put(bank.params.nco_inc, chan))
 
     def process(iq, state):
-        iq = jax.device_put(iq, chan)
+        import numpy as _np
+
+        if isinstance(iq, _np.ndarray) and _np.iscomplexobj(iq):
+            xr, xi = (_np.ascontiguousarray(iq.real, _np.float32),
+                      _np.ascontiguousarray(iq.imag, _np.float32))
+        elif jnp.iscomplexobj(iq):
+            xr, xi = iq.real.astype(jnp.float32), iq.imag.astype(jnp.float32)
+        else:
+            xr, xi = iq, jnp.zeros_like(iq)
+        xr = jax.device_put(xr, chan)
+        xi = jax.device_put(xi, chan)
         state = jax.tree.map(lambda leaf: jax.device_put(leaf, chan), state)
-        return bank._fn(params, state, iq)
+        return bank._fn(params, state, xr, xi)
 
     return process

@@ -135,7 +135,9 @@ def build_params(config: ReceiverConfig) -> ReceiverParams:
         agc_target=np.float32(agc_p.target),
         agc_max_gain=np.float32(agc_p.max_gain),
         agc_enabled=np.bool_(agc_p.enabled),
-        lms_mu=lms.lms_mu_from_strength(max(config.nr.level, 1)),
+        # NOTCH has no menu level (nr_level stays 0, RDSP_controls.h:256-263);
+        # the ALS notch uses a moderate fixed adaption strength
+        lms_mu=lms.lms_mu_from_strength(config.nr.level if config.nr.level > 0 else 20),
         nr_level=np.float32(config.nr.level),
         nb_threshold_db=np.float32(config.nb_threshold_db),
         input_gain=np.float32(config.input_gain),

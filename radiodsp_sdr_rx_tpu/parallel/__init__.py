@@ -15,5 +15,6 @@ from radiodsp_sdr_rx_tpu.parallel.stream_shard import (
     sharded_first_order_iir,
     sharded_agc_envelope,
     make_time_sharded_ssb_chain,
+    make_bank_time_sharded_chain,
     shard_channel_bank,
 )

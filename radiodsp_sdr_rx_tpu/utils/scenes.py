@@ -1,0 +1,134 @@
+"""Synthetic band scenes — recorded-capture stand-ins for integration tests.
+
+The reference was validated by on-air listening (SURVEY.md §4); this module
+synthesizes the equivalent crowded-band RF scenes deterministically so the
+BASELINE.json configs are testable offline (no recorded captures can be
+shipped): a 40 m evening SSB scene, a 20 m CW pile-up, and a QRM-corrupted SSB
+channel for the noise-reduction configs.
+
+All scenes return (iq complex64, dict of ground-truth station parameters).
+Frequencies are absolute RF; the capture window is ±fs/2 around ``center``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from radiodsp_sdr_rx_tpu.utils import siggen
+
+FS = 44117.64706
+
+
+def band_scene_40m_ssb(
+    n: int,
+    center: float = 7_150_000.0,
+    fs: float = FS,
+    seed: int = 40,
+) -> tuple[np.ndarray, dict]:
+    """Evening 40 m phone band: three LSB stations + a carrier + band noise.
+
+    (40 m phone is conventionally LSB.) Stations sit at distinct offsets with
+    distinct syllabic rates so tests can verify isolation.
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    stations = {
+        "s1": dict(freq=center - 12_000.0, amp=0.30, tones=(500.0, 1100.0, 1700.0), syl=2.3),
+        "s2": dict(freq=center + 5_000.0, amp=0.22, tones=(420.0, 900.0, 2100.0), syl=3.7),
+        "s3": dict(freq=center + 15_000.0, amp=0.15, tones=(650.0, 1300.0, 1900.0), syl=1.6),
+    }
+    iq = np.zeros(n, np.complex64)
+    for name, st in stations.items():
+        audio = sum(
+            g * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+            for f, g in zip(st["tones"], (1.0, 0.6, 0.35))
+        )
+        audio *= 0.55 + 0.45 * np.sin(2 * np.pi * st["syl"] * t)
+        audio /= np.abs(audio).max()
+        st["audio"] = audio
+        iq = iq + siggen.ssb_from_audio(audio, st["freq"] - center, fs, "lsb",
+                                        amp=st["amp"])
+    # steady birdie carrier + band noise
+    iq = iq + siggen.carrier(n, -8_000.0, fs, amp=0.05)
+    iq = (iq + siggen.noise(n, 0.01, seed=seed)).astype(np.complex64)
+    return iq, {"center": center, "stations": stations}
+
+
+def band_scene_20m_cw(
+    n: int,
+    center: float = 14_050_000.0,
+    fs: float = FS,
+    seed: int = 20,
+    wpm: float = 25.0,
+) -> tuple[np.ndarray, dict]:
+    """20 m CW pile-up: four keyed carriers at distinct offsets + noise.
+
+    Keying is hard on/off at pseudo-random Morse-ish element timing; ground
+    truth includes each station's on/off envelope for detection tests.
+    """
+    rng = np.random.default_rng(seed)
+    dit = 1.2 / wpm
+    stations = {
+        "c1": dict(freq=center + 2_000.0, amp=0.30),
+        "c2": dict(freq=center - 4_500.0, amp=0.22),
+        "c3": dict(freq=center + 9_000.0, amp=0.15),
+        "c4": dict(freq=center - 11_000.0, amp=0.10),
+    }
+    iq = np.zeros(n, np.complex64)
+    for name, st in stations.items():
+        # pseudo-Morse: random run lengths of 1-3 dits on, 1-3 dits off
+        env = np.zeros(n, np.float32)
+        pos = 0
+        on = True
+        r = np.random.default_rng(abs(hash(name)) % (2**31))
+        while pos < n:
+            run = int(r.integers(1, 4) * dit * fs)
+            if on:
+                env[pos : pos + run] = 1.0
+            pos += run
+            on = not on
+        # 5 ms raised-cosine keying edges to bound key clicks
+        edge = max(int(0.005 * fs), 1)
+        kernel = 0.5 - 0.5 * np.cos(np.pi * np.arange(1, edge + 1) / edge)
+        env = np.convolve(env, kernel / kernel.sum(), mode="same")
+        st["envelope"] = env
+        iq = iq + st["amp"] * env * siggen.carrier(n, st["freq"] - center, fs, 1.0)
+    iq = (iq + siggen.noise(n, 0.008, seed=seed)).astype(np.complex64)
+    return iq, {"center": center, "stations": stations, "dit_s": dit}
+
+
+def qrm_ssb_scene(
+    n: int,
+    center: float = 7_150_000.0,
+    fs: float = FS,
+    seed: int = 7,
+) -> tuple[np.ndarray, dict]:
+    """QRM-corrupted SSB channel (BASELINE config 4): desired USB voice at
+    +10 kHz with an interfering carrier inside the passband, impulse bursts,
+    and elevated band noise."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    # speech-like NON-stationary audio: band-limited noise with syllabic AM.
+    # (Steady sinusoids would be indistinguishable from heterodynes to the
+    # auto-notch — real speech is unpredictable across the LMS delay.)
+    white = rng.standard_normal(n)
+    spec = np.fft.rfft(white)
+    f_axis = np.fft.rfftfreq(n, 1 / fs)
+    spec[(f_axis < 300) | (f_axis > 2800)] = 0
+    audio = np.fft.irfft(spec, n)
+    audio *= 0.55 + 0.45 * np.sin(2 * np.pi * 2.7 * t)
+    audio /= np.abs(audio).max()
+    f0 = center + 10_000.0
+    iq = siggen.ssb_from_audio(audio, 10_000.0, fs, "usb", amp=0.35)
+    # in-passband heterodyne (auto-notch target): 2.2 kHz above the suppressed
+    # carrier, clear of the voice formant tones
+    iq = iq + siggen.carrier(n, 10_000.0 + 2_200.0, fs, amp=0.08)
+    # impulse noise bursts (noise-blanker target)
+    n_imp = n // 8000
+    idx = rng.integers(0, n, n_imp)
+    imp = np.zeros(n, np.complex64)
+    imp[idx] = (rng.standard_normal(n_imp) + 1j * rng.standard_normal(n_imp)) * 3.0
+    iq = iq + imp
+    iq = (iq + siggen.noise(n, 0.04, seed=seed + 1)).astype(np.complex64)
+    return iq, {"center": center, "station_freq": f0, "audio": audio,
+                "het_offset_hz": 2_200.0}

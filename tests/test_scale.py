@@ -51,8 +51,11 @@ def test_bank_time_2d_sharding_matches_bank():
     c, n = 4, 8 * 4096
     center = 7_050_000.0
     freqs = [center + 4_000.0 * k for k in range(c)]
+    # the sharded chains model the post-preprocessor pipeline, so disable the
+    # IQ gain balance for exact equality with the full bank chain
     cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=freqs[0],
-                         capture_center_freq=center, agc=AGCMode.FAST)
+                         capture_center_freq=center, agc=AGCMode.OFF,
+                         iq_gain_balance=1.0)
     params = build_params(cfg)
     incs = np.stack([nco.freq_to_phase_inc(f - center, FS) for f in freqs])
 
@@ -64,14 +67,12 @@ def test_bank_time_2d_sharding_matches_bank():
     chain = make_bank_time_sharded_chain(mesh, sample_rate=FS)
     audio = chain(jnp.asarray(iq), jnp.asarray(incs), params.w_sideband,
                   params.w_audio, params.agc_release, params.agc_target,
-                  params.agc_max_gain, params.output_gain)
+                  params.agc_max_gain, params.agc_enabled, params.output_gain)
 
     bank = ReceiverBank(cfg, freqs)
     out, _ = bank.process(iq, bank.init_state())
-    # tolerance: with pure-noise input the AGC envelope sits near the max-gain
-    # cap, where tiny f32 differences between the parallel (log/exp) and
-    # sequential envelope paths are amplified by gains up to 316
-    want = np.asarray(out["audio_l"])
-    got = np.asarray(audio)
-    np.testing.assert_allclose(got, want, atol=5e-2)
-    assert np.abs(got - want).mean() < 1e-4
+    # AGC off -> the chain is linear and the sharded result is tight; with AGC
+    # on, envelope log/exp f32 jitter near the max-gain cap widens the diff
+    # (covered loosely by test_parallel's full-chain checks)
+    np.testing.assert_allclose(np.asarray(audio), np.asarray(out["audio_l"]),
+                               atol=2e-4)

@@ -1,0 +1,104 @@
+"""Extended benchmark suite (not driver-run; see bench.py for the headline).
+
+Covers the BASELINE.json staged configs on one chip with honest timing
+(device-resident inputs, data-dependent chains, scalar-readback closure):
+
+  1. AM envelope demod, single logical config (run as a bank for utilization)
+  2. USB chain, 128-channel bank (the headline)
+  3. CW narrow + auto-notch (LMS scan path)
+  4. Full chain + spectral subtraction, 64 channels
+  5'. 1024-channel bank on ONE chip (config 5's bank at single-chip scale;
+      the multi-host version needs a pod slice)
+
+Usage: python bench_full.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+FS = 44117.64706
+
+
+def _bench_bank(cfg, n_channels, seg_len, reps=5):
+    import jax
+    import jax.numpy as jnp
+
+    from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
+
+    freqs = [cfg.capture_center_freq + 1_000.0 * k for k in range(n_channels)]
+    bank = ReceiverBank(cfg, freqs)
+    state = jax.device_put(bank.init_state())
+    rng = np.random.default_rng(0)
+    xr = jax.device_put(rng.standard_normal((n_channels, seg_len))
+                        .astype(np.float32) * 0.1)
+    xi = jax.device_put(rng.standard_normal((n_channels, seg_len))
+                        .astype(np.float32) * 0.1)
+    force = jax.jit(lambda o: jnp.sum(o["audio_l"]))
+
+    out, state = bank.process_planar(xr, xi, state)
+    checksum = float(force(out))
+    assert np.isfinite(checksum), "non-finite output"
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, state = bank.process_planar(xr, xi, state)
+    float(force(out))
+    dt = time.perf_counter() - t0
+    return n_channels * seg_len * reps / dt / 1e6
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    from radiodsp_sdr_rx_tpu.models.config import (
+        AGCMode, DemodMode, NRMode, ReceiverConfig,
+    )
+
+    seg = 1 << (17 if quick else 19)
+    scenarios = {
+        "config1_am_64ch": ReceiverConfig(
+            mode=DemodMode.AM, vfo_freq=7_060_000.0,
+            capture_center_freq=7_050_000.0, agc=AGCMode.OFF),
+        "config2_usb_128ch": ReceiverConfig(
+            mode=DemodMode.USB, vfo_freq=7_200_000.0,
+            capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM),
+        "config3_cw_notch_16ch": ReceiverConfig(
+            mode=DemodMode.CW_NARROW, vfo_freq=14_050_000.0,
+            capture_center_freq=14_049_000.0, agc=AGCMode.FAST,
+            nr=NRMode.NOTCH),
+        "config4_spec_nr_64ch": ReceiverConfig(
+            mode=DemodMode.USB, vfo_freq=7_200_000.0,
+            capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM,
+            nr=NRMode.SPEC2),
+        "config5_1024ch_bank": ReceiverConfig(
+            mode=DemodMode.USB, vfo_freq=7_200_000.0,
+            capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM),
+    }
+    channels = {"config1_am_64ch": 64, "config2_usb_128ch": 128,
+                "config3_cw_notch_16ch": 16, "config4_spec_nr_64ch": 64,
+                "config5_1024ch_bank": 1024}
+    seg_override = {"config3_cw_notch_16ch": 1 << 15,   # LMS scan path is slow
+                    "config5_1024ch_bank": 1 << 16}
+
+    results = {}
+    for name, cfg in scenarios.items():
+        try:
+            msps = _bench_bank(cfg, channels[name],
+                               seg_override.get(name, seg),
+                               reps=2 if quick else 5)
+            results[name] = round(msps, 1)
+            print(f"{name}: {msps:.0f} Msamples/s/chip", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"error: {str(e)[:80]}"
+            print(f"{name}: FAILED {e}", file=sys.stderr)
+
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

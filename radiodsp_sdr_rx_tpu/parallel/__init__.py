@@ -18,3 +18,4 @@ from radiodsp_sdr_rx_tpu.parallel.stream_shard import (
     make_bank_time_sharded_chain,
     shard_channel_bank,
 )
+from radiodsp_sdr_rx_tpu.parallel.stream_shard import sharded_panadapter  # noqa: E402

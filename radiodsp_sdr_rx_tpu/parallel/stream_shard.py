@@ -239,6 +239,40 @@ def make_bank_time_sharded_chain(
     return jax.jit(sharded)
 
 
+def sharded_panadapter(
+    mesh: Mesh,
+    *,
+    axis_name: str = "time",
+    naverage: int = 30,
+):
+    """Distributed spectrum aggregation (SURVEY.md §2.3): each device computes
+    panadapter frames over its local time segment; the magnitude-squared
+    averages reduce across the mesh with ``psum`` so every device holds the
+    full-capture averaged spectrum — the collective analog of the analyzer's
+    ``naverage`` accumulation (analyze_fft256iq.cpp:86-99).
+
+    Returns fn(iq (n,) complex sharded over time) -> (n_dev_updates, 256)
+    display-order rows, where each row averages naverage*ndev frames (the
+    per-device updates are psum-averaged element-wise across devices).
+    """
+    from radiodsp_sdr_rx_tpu.ops import analyzers
+
+    def local(iq):
+        half_tail = _shift_from_left(iq[..., -128:], axis_name,
+                                     jnp.zeros(128, iq.dtype))
+        rows = analyzers.iq_spectrum_frames(iq, naverage=naverage,
+                                            tail=half_tail)
+        n_dev = jax.lax.axis_size(axis_name)
+        # G. Heinzel averaging is over magnitude *squared*; rows are
+        # sqrt(mean magsq)*32768, so reduce the squares for exactness
+        return jnp.sqrt(jax.lax.psum(rows * rows, axis_name) / n_dev)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis_name), out_specs=P(),
+    )
+    return jax.jit(sharded)
+
+
 def shard_channel_bank(bank, mesh: Mesh, axis_name: str = "channel"):
     """Wrap a models.receiver.ReceiverBank so channels shard over a mesh axis.
 

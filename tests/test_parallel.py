@@ -163,3 +163,24 @@ def test_bank_metrics_collective():
     x = jnp.ones((8, 128), jnp.float32)
     out = f(x)
     np.testing.assert_allclose(np.asarray(out), 8 * 128.0)
+
+
+def test_sharded_panadapter_matches_global_average():
+    """psum-reduced time-sharded panadapter == single-device analyzer run at
+    naverage*ndev averaging (exact magsq-domain reduction)."""
+    from radiodsp_sdr_rx_tpu.ops import analyzers
+    from radiodsp_sdr_rx_tpu.parallel import sharded_panadapter
+
+    n = 8 * 128 * 30  # one 30-frame update per device
+    iq = (siggen.carrier(n, 5000.0, FS, amp=0.4)
+          + siggen.noise(n, 0.02)).astype(np.complex64)
+
+    mesh = make_mesh(channel=1, time=8)
+    fn = sharded_panadapter(mesh, naverage=30)
+    rows = np.asarray(fn(jnp.asarray(iq)))
+    assert rows.shape == (1, 256)
+
+    want = np.asarray(analyzers.iq_spectrum_frames(
+        jnp.asarray(iq), naverage=240,
+        tail=jnp.zeros(128, jnp.complex64)))
+    np.testing.assert_allclose(rows[0], want[0], rtol=1e-3, atol=0.5)

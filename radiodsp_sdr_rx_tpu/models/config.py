@@ -158,6 +158,7 @@ class ReceiverConfig:
     output_gain: float = 0.5             # SDR.setOutputGain (ino:134)
     iq_gain_balance: float = 1.020       # SDR.setIQgainBalance (ino:135)
     quantize_output: bool = False        # q15 round-trip at the audio boundary
+    mute: bool = False                   # SDR.setMute (ino:177: unmuted after boot)
 
     def __post_init__(self):
         if not (BOTTOM_FREQ <= self.vfo_freq <= TOP_FREQ):

@@ -69,6 +69,7 @@ class ReceiverParams(NamedTuple):
     input_gain: jax.Array
     output_gain: jax.Array
     iq_gain_balance: jax.Array
+    mute: jax.Array          # bool — SDR.setMute equivalent
 
 
 class ReceiverState(NamedTuple):
@@ -143,6 +144,7 @@ def build_params(config: ReceiverConfig) -> ReceiverParams:
         input_gain=np.float32(config.input_gain),
         output_gain=np.float32(config.output_gain),
         iq_gain_balance=np.float32(config.iq_gain_balance),
+        mute=np.bool_(config.mute),
     )
 
 
@@ -236,9 +238,10 @@ def rx_chain(
             )
         )
 
-    # --- output gain + optional q15 boundary quantization
-    audio_l = audio_l * params.output_gain
-    audio_r = audio_r * params.output_gain
+    # --- output gain, mute, optional q15 boundary quantization
+    out_gain = jnp.where(params.mute, 0.0, params.output_gain)
+    audio_l = audio_l * out_gain
+    audio_r = audio_r * out_gain
     if quantize_output:
         audio_l, audio_r = quantize_q15(audio_l), quantize_q15(audio_r)
 
@@ -342,7 +345,7 @@ class ReceiverBank:
             dft_cos=None, dft_sin=None, agc_release=None,
             agc_target=None, agc_max_gain=None, agc_enabled=None, lms_mu=None,
             nr_level=None, nb_threshold_db=None, input_gain=None,
-            output_gain=None, iq_gain_balance=None,
+            output_gain=None, iq_gain_balance=None, mute=None,
         )
         self._fn = jax.jit(
             jax.vmap(lambda p, s, xr, xi: rx_chain(p, s, xr, xi, **statics),

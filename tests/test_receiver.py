@@ -204,3 +204,19 @@ def test_receiver_bank_matches_single():
     # channel tuned to the signal hears the tone; channel 10 kHz away doesn't
     assert _tone_snr_db(out["audio_l"][1], 800.0) > 30.0
     assert np.abs(np.asarray(out["audio_l"][3])).max() < 0.05
+
+
+def test_mute():
+    """SDR.setMute equivalent: muted output is exactly zero, state still runs."""
+    n = 1 << 14
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, mute=True)
+    rx = Receiver(cfg)
+    iq = jnp.asarray(siggen.carrier(n, 11_000.0, FS, 0.3))
+    out, state = rx.process(iq, rx.init_state())
+    assert np.abs(np.asarray(out["audio_l"])).max() == 0.0
+    # unmuting via retune reuses the compiled fn (mute is a dynamic param)
+    rx2 = rx.retune(mute=False)
+    assert rx2._fn is rx._fn
+    out2, _ = rx2.process(iq, state)
+    assert np.abs(np.asarray(out2["audio_l"])).max() > 0.0

@@ -1,0 +1,133 @@
+"""Pallas kernel for the normalized-LMS noise reducer / auto-notch.
+
+The LMS recurrence (ops/lms.py — CMSIS arm_lms_norm_f32 semantics with the
+reference's 128-sample decorrelation delay) is inherently per-sample
+sequential. The TPU-native formulation puts **channels across the 128 VPU
+lanes** and the 96 taps across sublanes, so each sequential step still moves a
+(96, 128) tile of useful work:
+
+    win   <- shift_in(win, x[n])          # (taps, C)
+    y[n]   = sum_taps(w * win)            # lane-wise reduction -> (C,)
+    e[n]   = d[n] - y[n]
+    w     += (mu * e[n] / (||win||^2 + eps)) * win
+
+State (weights, window, delay carry) enters and leaves as kernel operands, so
+long streams chain chunk-to-chunk with ``jax.lax.scan`` *outside* the kernel —
+no cross-grid-step scratch (unsupported on the deployment backend).
+
+The channel axis is padded to 128; the time chunk is a static kernel constant.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radiodsp_sdr_rx_tpu.ops.lms import LMS_DELAY, LMS_TAPS, _EPS
+
+LANES = 128
+
+
+def _lms_kernel(x_ref, d_ref, mu_ref, w_ref, win_ref, y_ref, e_ref,
+                w_out_ref, win_out_ref, *, chunk: int, taps: int):
+    """One chunk: x_ref/d_ref (chunk, C); states (taps, C)."""
+    mu = mu_ref[0, 0]
+
+    def body(n, carry):
+        w, win = carry
+        xn = x_ref[n, :]                       # (C,)
+        dn = d_ref[n, :]
+        win = jnp.concatenate([win[1:, :], xn[None, :]], axis=0)
+        y = jnp.sum(w * win, axis=0)           # (C,)
+        e = dn - y
+        energy = jnp.sum(win * win, axis=0)
+        coeff = mu * e / (energy + _EPS)       # (C,)
+        w = w + coeff[None, :] * win
+        y_ref[n, :] = y
+        e_ref[n, :] = e
+        return (w, win)
+
+    w, win = jax.lax.fori_loop(0, chunk, body, (w_ref[:], win_ref[:]))
+    w_out_ref[:] = w
+    win_out_ref[:] = win
+
+
+def lms_chunk(x, d, mu, w, win, *, interpret: bool = False):
+    """Run one LMS chunk. x, d: (chunk, C) f32; w, win: (taps, C) f32.
+
+    Returns (y (chunk, C), e (chunk, C), w', win').
+    """
+    chunk, c = x.shape
+    taps = w.shape[0]
+    if c != LANES:
+        raise ValueError(f"channel axis must be {LANES} (pad)")
+    kernel = functools.partial(_lms_kernel, chunk=chunk, taps=taps)
+    mu_arr = jnp.full((1, 1), mu, jnp.float32)
+    y, e, w2, win2 = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((chunk, c), jnp.float32),
+            jax.ShapeDtypeStruct((chunk, c), jnp.float32),
+            jax.ShapeDtypeStruct((taps, c), jnp.float32),
+            jax.ShapeDtypeStruct((taps, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, d, mu_arr, w, win)
+    return y, e, w2, win2
+
+
+def lms_nr_run_pallas(
+    x: jax.Array,
+    weights: jax.Array,
+    window: jax.Array,
+    delay: jax.Array,
+    first: jax.Array,
+    mu,
+    mode: str = "denoise",
+    chunk: int = 2048,
+    interpret: bool = False,
+):
+    """Multi-channel LMS over a stream segment via chunked Pallas calls.
+
+    x: (C, n) f32 with C == 128 (pad otherwise); weights/window: (C, taps);
+    delay: (C, LMS_DELAY) carry; first: bool (reference first-block quirk).
+    Returns (out (C, n), weights', window', delay').
+
+    Semantics match vmapped ops/lms.lms_nr_run over channels.
+    """
+    c, n = x.shape
+    if n % chunk:
+        raise ValueError("n must be a multiple of chunk")
+
+    # desired = 128-delayed stream; first block predicts itself
+    shifted = jnp.concatenate([delay, x], axis=-1)[:, :n]
+    idx = jnp.arange(n)
+    d = jnp.where(jnp.logical_and(first, idx < LMS_DELAY)[None, :], x, shifted)
+
+    # (C, n) -> chunks of (chunk, C): lanes = channels
+    xs = jnp.moveaxis(x.reshape(c, n // chunk, chunk), 1, 0)   # (nc, C, chunk)
+    ds = jnp.moveaxis(d.reshape(c, n // chunk, chunk), 1, 0)
+    xs = jnp.swapaxes(xs, 1, 2)                                # (nc, chunk, C)
+    ds = jnp.swapaxes(ds, 1, 2)
+
+    w0 = jnp.swapaxes(weights, 0, 1)                           # (taps, C)
+    win0 = jnp.swapaxes(window, 0, 1)
+
+    def step(carry, inputs):
+        w, win = carry
+        xc, dc = inputs
+        y, e, w2, win2 = lms_chunk(xc, dc, mu, w, win, interpret=interpret)
+        return (w2, win2), (y, e)
+
+    (wf, winf), (ys, es) = jax.lax.scan(step, (w0, win0), (xs, ds))
+    out = ys if mode == "denoise" else es                      # (nc, chunk, C)
+    out = jnp.moveaxis(jnp.swapaxes(out, 1, 2), 0, 1).reshape(c, n)
+    new_delay = jnp.concatenate([delay, x], axis=-1)[:, -LMS_DELAY:]
+    return out, jnp.swapaxes(wf, 0, 1), jnp.swapaxes(winf, 0, 1), new_delay

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from radiodsp_sdr_rx_tpu.ops import analyzers
-from radiodsp_sdr_rx_tpu.ops.iir import BiquadCoeffs, biquad_apply, biquad_highpass
+from radiodsp_sdr_rx_tpu.ops.iir import biquad_apply, biquad_highpass
 from radiodsp_sdr_rx_tpu.utils import display as disp
 from radiodsp_sdr_rx_tpu.utils import smeter as smeter_mod
 

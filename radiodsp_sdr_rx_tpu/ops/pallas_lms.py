@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from radiodsp_sdr_rx_tpu.ops.lms import LMS_DELAY, LMS_TAPS, _EPS
+from radiodsp_sdr_rx_tpu.ops.lms import LMS_DELAY, _EPS
 
 LANES = 128
 

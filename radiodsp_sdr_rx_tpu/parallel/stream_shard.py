@@ -20,7 +20,7 @@ Sequential adaptive stages (LMS, SAM PLL) shard over *channels* instead.
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from radiodsp_sdr_rx_tpu.ops import agc as agc_ops
 from radiodsp_sdr_rx_tpu.ops import demod as demod_ops
 from radiodsp_sdr_rx_tpu.ops import fastconv, nco
-from radiodsp_sdr_rx_tpu.ops import preprocessor as pre_ops
+
 
 
 def _shift_from_left(tail: jax.Array, axis_name: str, first_tail: jax.Array) -> jax.Array:

@@ -1,0 +1,60 @@
+"""FusedSSBBank (Pallas fast path, interpret mode) == ReceiverBank."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radiodsp_sdr_rx_tpu.models.config import AGCMode, DemodMode, NRMode, ReceiverConfig
+from radiodsp_sdr_rx_tpu.models.fused import FusedSSBBank
+from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
+from radiodsp_sdr_rx_tpu.utils import siggen
+
+FS = 44117.64706
+
+
+def _setup(n_ch=8, agc=AGCMode.MEDIUM):
+    center = 7_050_000.0
+    freqs = [center + 2_000.0 * k for k in range(n_ch)]
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=agc)
+    return cfg, freqs
+
+
+def test_fused_matches_reference_bank(rng):
+    n = 8192
+    cfg, freqs = _setup()
+    fused = FusedSSBBank(cfg, freqs, block_t=2048, interpret=True)
+    bank = ReceiverBank(cfg, freqs)
+
+    iq = ((rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n)))
+          .astype(np.complex64) * 0.2)
+    out_f, _ = fused.process(iq, fused.init_state())
+    out_b, _ = bank.process(iq, bank.init_state())
+    np.testing.assert_allclose(np.asarray(out_f["audio_l"]),
+                               np.asarray(out_b["audio_l"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_f["audio_r"]),
+                               np.asarray(out_b["audio_r"]), atol=2e-3)
+
+
+def test_fused_streaming_continuity(rng):
+    n = 8192
+    cfg, freqs = _setup(agc=AGCMode.OFF)
+    fused = FusedSSBBank(cfg, freqs, block_t=2048, interpret=True)
+    iq = ((rng.standard_normal((8, 2 * n)) + 1j * rng.standard_normal((8, 2 * n)))
+          .astype(np.complex64) * 0.2)
+
+    out_full, _ = fused.process(iq, fused.init_state())
+    st = fused.init_state()
+    out1, st = fused.process(iq[:, :n], st)
+    out2, _ = fused.process(iq[:, n:], st)
+    got = np.concatenate([np.asarray(out1["audio_l"]),
+                          np.asarray(out2["audio_l"])], axis=1)
+    np.testing.assert_allclose(got, np.asarray(out_full["audio_l"]), atol=1e-5)
+
+
+def test_fused_rejects_unsupported_configs():
+    cfg, freqs = _setup()
+    with pytest.raises(ValueError):
+        FusedSSBBank(cfg.with_(mode=DemodMode.AM), freqs)
+    with pytest.raises(ValueError):
+        FusedSSBBank(cfg.with_(nr=NRMode.DNR1), freqs)

@@ -100,16 +100,31 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    # The TPU pool relay is occasionally flaky (transient UNIMPLEMENTED /
-    # hangs on session setup); retry a couple of times before giving up.
-    last_err = None
-    for attempt in range(3):
+    # The TPU pool relay is occasionally flaky: transient UNIMPLEMENTED errors
+    # AND multi-minute hard hangs inside remote compiles (uninterruptible C
+    # calls — SIGALRM can't fire). Each attempt therefore runs in a fresh
+    # subprocess with a hard timeout; the parent retries.
+    if "--inner" in sys.argv:
+        main()
+        sys.exit(0)
+
+    import subprocess
+
+    last = None
+    for attempt in range(4):
         try:
-            main()
-            break
-        except Exception as e:  # noqa: BLE001
-            last_err = e
-            print(f"bench attempt {attempt + 1} failed: {e}", file=sys.stderr)
-            time.sleep(10)
-    else:
-        raise last_err
+            r = subprocess.run(
+                [sys.executable, __file__, "--inner"],
+                timeout=420, capture_output=True, text=True,
+            )
+            sys.stderr.write(r.stderr)
+            lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+            if r.returncode == 0 and lines:
+                print(lines[-1])
+                sys.exit(0)
+            last = f"rc={r.returncode} out={r.stdout[-200:]!r}"
+        except subprocess.TimeoutExpired:
+            last = "watchdog timeout (relay hang)"
+        print(f"bench attempt {attempt + 1} failed: {last}", file=sys.stderr)
+        time.sleep(15)
+    raise SystemExit(f"bench failed after retries: {last}")

@@ -39,3 +39,5 @@ from radiodsp_sdr_rx_tpu.ops.demod import (
 )
 from radiodsp_sdr_rx_tpu.ops.spectral_sub import spectral_subtract_frames
 from radiodsp_sdr_rx_tpu.ops.noise_blanker import noise_blanker
+from radiodsp_sdr_rx_tpu.ops import planar  # noqa: E402,F401 (device-layout kernels)
+from radiodsp_sdr_rx_tpu.ops import pallas_kernels  # noqa: E402,F401 (fused fast path)

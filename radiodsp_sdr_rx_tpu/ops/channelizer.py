@@ -1,0 +1,104 @@
+"""Polyphase filter-bank (PFB) channelizer.
+
+Splits a wideband IQ stream into M equally-spaced, M-decimated channels in one
+pass — the scalable front end for the many-channel monitoring banks the
+reference's single receiver becomes here (BASELINE config 5: 1024 channels).
+Cost per input sample is O(taps/M + log M) instead of the bank's O(M) separate
+DDCs; on TPU both stages are matmuls:
+
+  1. polyphase filtering: frames (n_out, M*P) of the stream against the
+     prototype low-pass reshaped to phases -> one matmul with a (M*P, M)
+     block-diagonal-free dense operator? No — the polyphase products reduce
+     over P taps per phase, expressed as a strided-frame matmul.
+  2. channel separation: an M-point DFT across phases -> (M, M) matmul pair
+     (cos/sin), MXU again.
+
+Channel k is centered at k*fs/M (wrapping above fs/2 to negative frequencies)
+and emerges at rate fs/M, critically sampled.
+
+Design follows the classic critically-sampled PFB (see PAPERS.md polyphase
+references); the prototype is the same windowed-sinc designer used everywhere
+else (fir_design), cutoff fs/(2M).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radiodsp_sdr_rx_tpu.ops.fir_design import calc_cplx_fir_coeffs
+from radiodsp_sdr_rx_tpu.ops.planar import dft_matrices
+
+
+def design_prototype(n_channels: int, taps_per_phase: int = 8,
+                     sample_rate: float = 44117.64706,
+                     cutoff_scale: float = 1.0, window_id: int = 1) -> np.ndarray:
+    """Real prototype low-pass of length M*P, cutoff fs/(2M)*scale."""
+    m, p = n_channels, taps_per_phase
+    bw = sample_rate / (2.0 * m) * cutoff_scale
+    h = calc_cplx_fir_coeffs(m * p, -bw, bw, sample_rate, window_id).real
+    return (h / h.sum()).astype(np.float32)  # unity DC gain
+
+
+class PFBChannelizer:
+    """Critically-sampled polyphase channelizer for planar IQ streams.
+
+    >>> ch = PFBChannelizer(n_channels=64)
+    >>> yr, yi, state = ch(xr, xi, state)   # (..., n) -> (..., 64, n//64)
+    """
+
+    def __init__(self, n_channels: int, taps_per_phase: int = 8,
+                 sample_rate: float = 44117.64706):
+        self.m = n_channels
+        self.p = taps_per_phase
+        proto = design_prototype(n_channels, taps_per_phase, sample_rate)
+        # polyphase matrix: phase r gets taps h[r], h[r+M], ... (newest first)
+        self.h_poly = proto.reshape(taps_per_phase, n_channels)  # (P, M)
+        c, s = dft_matrices(n_channels)
+        self.dft_cos = c
+        self.dft_sin = s
+
+    def init_state(self, leading: tuple = ()) -> np.ndarray:
+        """(..., (P-1)*M) carry of the last prototype-history samples (planar
+        pair packed along the last axis: [re | im])."""
+        return np.zeros(leading + (2 * (self.p - 1) * self.m,), np.float32)
+
+    def __call__(self, xr: jax.Array, xi: jax.Array, state: jax.Array,
+                 precision=jax.lax.Precision.HIGHEST):
+        """Channelize. xr, xi: (..., n), n a multiple of M.
+
+        Returns (yr, yi, new_state): (..., M, n/M) per-channel baseband
+        streams at rate fs/M; channel k centered at +k*fs/M (k >= M/2 wraps
+        negative).
+        """
+        m, p = self.m, self.p
+        n = xr.shape[-1]
+        n_out = n // m
+        hist = (p - 1) * m
+        hr, hi = state[..., :hist], state[..., hist:]
+
+        def poly(x, h_carry):
+            padded = jnp.concatenate([h_carry, x], axis=-1)   # (..., n + hist)
+            # frames: output step t uses samples [t*M, t*M + P*M)
+            idx0 = jnp.arange(n_out)[:, None] * m
+            idx = idx0 + jnp.arange(p * m)[None, :]
+            frames = padded[..., idx]                         # (..., n_out, P*M)
+            fr = frames.reshape(*frames.shape[:-1], p, m)
+            # reduce over taps: v[t, r] = sum_j h_poly[j, r] * fr[t, j, r]
+            return jnp.sum(fr * self.h_poly, axis=-2)         # (..., n_out, M)
+
+        vr = poly(xr, hr)
+        vi = poly(xi, hi)
+        # M-point DFT across phases (complex input): S = (vr + j vi)(C - jS)
+        cm = jnp.asarray(self.dft_cos)
+        sm = jnp.asarray(self.dft_sin)
+        yr = (jnp.matmul(vr, cm, precision=precision)
+              + jnp.matmul(vi, sm, precision=precision))
+        yi = (jnp.matmul(vi, cm, precision=precision)
+              - jnp.matmul(vr, sm, precision=precision))
+        # (..., n_out, M) -> (..., M, n_out)
+        yr = jnp.moveaxis(yr, -1, -2)
+        yi = jnp.moveaxis(yi, -1, -2)
+        new_state = jnp.concatenate([xr[..., -hist:], xi[..., -hist:]], axis=-1)
+        return yr, yi, new_state

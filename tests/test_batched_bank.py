@@ -1,0 +1,55 @@
+"""ReceiverBank backend='batched' (bank-level chain + Pallas LMS) == 'vmap'."""
+
+import numpy as np
+import pytest
+
+from radiodsp_sdr_rx_tpu.models.config import AGCMode, DemodMode, NRMode, ReceiverConfig
+from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
+from radiodsp_sdr_rx_tpu.utils import siggen
+
+FS = 44117.64706
+
+
+def _bank_pair(nr, n_ch, mode=DemodMode.USB):
+    center = 7_050_000.0
+    freqs = [center + 500.0 * k for k in range(n_ch)]
+    cfg = ReceiverConfig(mode=mode, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM, nr=nr)
+    return (ReceiverBank(cfg, freqs, backend="batched"),
+            ReceiverBank(cfg, freqs, backend="vmap"))
+
+
+@pytest.mark.parametrize("nr", [NRMode.OFF, NRMode.SPEC2])
+def test_batched_equals_vmap_non_lms(rng, nr):
+    n_ch, n = 8, 8192
+    b1, b2 = _bank_pair(nr, n_ch)
+    iq = ((rng.standard_normal((n_ch, n)) + 1j * rng.standard_normal((n_ch, n)))
+          .astype(np.complex64) * 0.2)
+    out1, _ = b1.process(iq, b1.init_state())
+    out2, _ = b2.process(iq, b2.init_state())
+    np.testing.assert_allclose(np.asarray(out1["audio_l"]),
+                               np.asarray(out2["audio_l"]), atol=2e-4)
+
+
+@pytest.mark.parametrize("nr", [NRMode.DNR2, NRMode.NOTCH])
+def test_batched_equals_vmap_lms_128ch(rng, nr):
+    n_ch, n = 128, 4096
+    b1, b2 = _bank_pair(nr, n_ch)
+    iq = ((rng.standard_normal((n_ch, n)) + 1j * rng.standard_normal((n_ch, n)))
+          .astype(np.complex64) * 0.2)
+    out1, st1 = b1.process(iq, b1.init_state())
+    out2, st2 = b2.process(iq, b2.init_state())
+    np.testing.assert_allclose(np.asarray(out1["audio_l"]),
+                               np.asarray(out2["audio_l"]), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(st1.lms.weights),
+                               np.asarray(st2.lms.weights), atol=5e-4)
+
+
+def test_batched_am_mode(rng):
+    n_ch, n = 8, 8192
+    b1, b2 = _bank_pair(NRMode.OFF, n_ch, mode=DemodMode.AM)
+    iq = siggen.am_signal(n, 3_000.0, mod_hz=700.0, fs=FS)
+    out1, _ = b1.process(iq, b1.init_state())
+    out2, _ = b2.process(iq, b2.init_state())
+    np.testing.assert_allclose(np.asarray(out1["audio_l"]),
+                               np.asarray(out2["audio_l"]), atol=2e-4)

@@ -32,7 +32,9 @@ def _bench_bank(cfg, n_channels, seg_len, reps=5):
     from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
 
     freqs = [cfg.capture_center_freq + 1_000.0 * k for k in range(n_channels)]
-    bank = ReceiverBank(cfg, freqs)
+    # NR (LMS) configs use the bank-level batched chain with the Pallas LMS
+    backend = "batched" if cfg.nr.kind in ("lms", "notch") else "vmap"
+    bank = ReceiverBank(cfg, freqs, backend=backend)
     state = jax.device_put(bank.init_state())
     rng = np.random.default_rng(0)
     xr = jax.device_put(rng.standard_normal((n_channels, seg_len))
@@ -66,7 +68,7 @@ def main() -> int:
         "config2_usb_128ch": ReceiverConfig(
             mode=DemodMode.USB, vfo_freq=7_200_000.0,
             capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM),
-        "config3_cw_notch_16ch": ReceiverConfig(
+        "config3_cw_notch_128ch": ReceiverConfig(
             mode=DemodMode.CW_NARROW, vfo_freq=14_050_000.0,
             capture_center_freq=14_049_000.0, agc=AGCMode.FAST,
             nr=NRMode.NOTCH),
@@ -79,9 +81,9 @@ def main() -> int:
             capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM),
     }
     channels = {"config1_am_64ch": 64, "config2_usb_128ch": 128,
-                "config3_cw_notch_16ch": 16, "config4_spec_nr_64ch": 64,
+                "config3_cw_notch_128ch": 128, "config4_spec_nr_64ch": 64,
                 "config5_1024ch_bank": 1024}
-    seg_override = {"config3_cw_notch_16ch": 1 << 15,   # LMS scan path is slow
+    seg_override = {"config3_cw_notch_128ch": 1 << 16,
                     "config5_1024ch_bank": 1 << 16}
 
     results = {}

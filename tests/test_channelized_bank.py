@@ -1,0 +1,59 @@
+"""ChannelizedBank: PFB monitoring bank tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from radiodsp_sdr_rx_tpu.models.channelized import ChannelizedBank
+from radiodsp_sdr_rx_tpu.utils import siggen
+
+FS = 44117.64706
+
+
+def test_am_stations_per_channel():
+    """AM stations centered on channels 3 and 60 (negative side) demodulate in
+    their channels; power map lights only those."""
+    m = 64
+    n = m * 4096
+    bank = ChannelizedBank(n_channels=m, demod="am")
+    f3 = 3 * FS / m
+    f60 = 60 * FS / m - FS  # negative offset
+    iq = (siggen.am_signal(n, f3, mod_hz=150.0, fs=FS, amp=0.4)
+          + siggen.am_signal(n, f60, mod_hz=90.0, fs=FS, amp=0.3)
+          + siggen.noise(n, 0.005)).astype(np.complex64)
+
+    out, state = bank.process(iq, bank.init_state())
+    audio = np.asarray(out["audio"])
+    power = np.asarray(out["power"])
+    assert audio.shape == (m, n // m)
+
+    hot = {3, 60}
+    med = np.median(power)
+    for k in range(m):
+        if k in hot:
+            assert power[k] > 30 * med, (k, power[k], med)
+    # demodulated tones at the channel rate
+    ch_rate = FS / m
+    for k, tone in [(3, 150.0), (60, 90.0)]:
+        a = audio[k, 512:]
+        spec = np.abs(np.fft.rfft((a - a.mean()) * np.hanning(len(a))))
+        freqs = np.fft.rfftfreq(len(a), 1 / ch_rate)
+        assert abs(freqs[spec.argmax()] - tone) < 8.0, (k, freqs[spec.argmax()])
+    # channel_freq mapping
+    assert abs(bank.channel_freq(3) - f3) < 1e-6
+    assert abs(bank.channel_freq(60) - f60) < 1e-6
+
+
+def test_streaming_continuity(rng):
+    m = 32
+    n = m * 1024
+    bank = ChannelizedBank(n_channels=m, demod="am")
+    iq = ((rng.standard_normal(2 * n) + 1j * rng.standard_normal(2 * n))
+          .astype(np.complex64) * 0.2)
+
+    out_f, _ = bank.process(iq, bank.init_state())
+    st = bank.init_state()
+    o1, st = bank.process(iq[:n], st)
+    o2, _ = bank.process(iq[n:], st)
+    got = np.concatenate([np.asarray(o1["audio"]), np.asarray(o2["audio"])],
+                         axis=-1)
+    np.testing.assert_allclose(got, np.asarray(out_f["audio"]), atol=1e-5)

@@ -149,6 +149,35 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_scan(args) -> int:
+    """Band scanner: channelize the capture and print the activity map."""
+    import numpy as np
+
+    from radiodsp_sdr_rx_tpu.models.channelized import ChannelizedBank
+
+    iq, fs = _load_iq(args)
+    m = args.channels
+    n = (len(iq) // m) * m
+    bank = ChannelizedBank(n_channels=m, sample_rate=fs, demod="power")
+    out, _ = bank.process(iq[:n], bank.init_state())
+    power = np.asarray(out["power"])
+    order = np.argsort(power)[::-1]
+    noise_floor = float(np.median(power))
+    print(f"{args.input}: {m} channels x {fs/m:.0f} Hz, "
+          f"floor {10*np.log10(max(noise_floor,1e-20)):.1f} dBfs")
+    shown = 0
+    for k in order:
+        snr = 10 * np.log10(power[k] / max(noise_floor, 1e-20))
+        if snr < args.min_snr or shown >= args.top:
+            break
+        freq = bank.channel_freq(int(k), args.center)
+        print(f"  ch {int(k):4d}  {freq/1e6:12.6f} MHz  +{snr:5.1f} dB")
+        shown += 1
+    if not shown:
+        print("  (no channels above threshold)")
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -177,6 +206,15 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="audio.wav")
     p.add_argument("--block", type=int, default=16384)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("scan", help="channelized band scan (activity map)")
+    p.add_argument("input")
+    p.add_argument("--center", type=float, default=7_050_000.0)
+    p.add_argument("--channels", type=int, default=64)
+    p.add_argument("--min-snr", type=float, default=10.0)
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--raw", action="store_true")
+    p.set_defaults(fn=cmd_scan)
 
     p = sub.add_parser("info", help="version + device info")
     p.set_defaults(fn=cmd_info)

@@ -56,3 +56,17 @@ def test_cli_stream(tmp_path, capsys):
 def test_cli_info(capsys):
     assert main(["info"]) == 0
     assert "devices" in capsys.readouterr().out
+
+
+def test_cli_scan(tmp_path, capsys):
+    n = 1 << 16
+    iq = (siggen.am_signal(n, 10_000.0, mod_hz=400.0, fs=FS, amp=0.5)
+          + siggen.noise(n, 0.01)).astype(np.complex64)
+    path = str(tmp_path / "band.wav")
+    io_utils.write_wav(path, np.stack([iq.real, iq.imag], 1), FS)
+    rc = main(["scan", path, "--center", "7050000", "--channels", "64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "MHz" in out and "ch " in out
+    # the hot channel sits at +10 kHz: channel round(10000/(FS/64)) = 15
+    assert " 15 " in out or "ch   15" in out

@@ -78,15 +78,19 @@ class PFBChannelizer:
         hist = (p - 1) * m
         hr, hi = state[..., :hist], state[..., hist:]
 
+        h_poly = jnp.asarray(self.h_poly)
+
         def poly(x, h_carry):
+            # block view: b[t, r] = padded[t*M + r] — a pure reshape; the
+            # polyphase reduction is then P shifted slice-multiply-adds
+            # (no gather: overlapping frames would duplicate data 8x and
+            # gathers are slow on TPU)
             padded = jnp.concatenate([h_carry, x], axis=-1)   # (..., n + hist)
-            # frames: output step t uses samples [t*M, t*M + P*M)
-            idx0 = jnp.arange(n_out)[:, None] * m
-            idx = idx0 + jnp.arange(p * m)[None, :]
-            frames = padded[..., idx]                         # (..., n_out, P*M)
-            fr = frames.reshape(*frames.shape[:-1], p, m)
-            # reduce over taps: v[t, r] = sum_j h_poly[j, r] * fr[t, j, r]
-            return jnp.sum(fr * self.h_poly, axis=-2)         # (..., n_out, M)
+            b = padded.reshape(*x.shape[:-1], n_out + p - 1, m)
+            acc = h_poly[0] * b[..., 0:n_out, :]
+            for j in range(1, p):
+                acc = acc + h_poly[j] * b[..., j : j + n_out, :]
+            return acc                                        # (..., n_out, M)
 
         vr = poly(xr, hr)
         vi = poly(xi, hi)

@@ -53,3 +53,29 @@ def test_fft_length_512():
         np.concatenate([out1["audio_l"], out2["audio_l"]]),
         np.asarray(out["audio_l"]), atol=1e-5,
     )
+
+
+def test_trace_context(tmp_path):
+    import jax
+
+    with profiling.trace(str(tmp_path / "trace")):
+        x = jax.jit(lambda a: a * 3.0)(jnp.ones(128, jnp.float32))
+        jax.block_until_ready(x)
+    # jax.profiler writes a subdirectory of trace events
+    import os
+    assert any(os.scandir(str(tmp_path / "trace")))
+
+
+def test_public_import_surface():
+    """Everything the README/API docs mention is importable."""
+    import radiodsp_sdr_rx_tpu as pkg
+    from radiodsp_sdr_rx_tpu.models.channelized import ChannelizedBank  # noqa
+    from radiodsp_sdr_rx_tpu.models.fused import FusedSSBBank  # noqa
+    from radiodsp_sdr_rx_tpu.models.streaming import StreamingReceiver  # noqa
+    from radiodsp_sdr_rx_tpu.ops import decimate, channelizer, planar  # noqa
+    from radiodsp_sdr_rx_tpu.ops.pallas_lms import lms_nr_run_pallas  # noqa
+    from radiodsp_sdr_rx_tpu.parallel import (  # noqa
+        make_mesh, sharded_panadapter, make_bank_time_sharded_chain,
+    )
+    from radiodsp_sdr_rx_tpu.utils import checkpoint, profiling, scenes  # noqa
+    assert pkg.SAMPLE_RATE == 44117.64706

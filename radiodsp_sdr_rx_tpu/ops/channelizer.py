@@ -19,6 +19,11 @@ and emerges at rate fs/M, critically sampled.
 Design follows the classic critically-sampled PFB (see PAPERS.md polyphase
 references); the prototype is the same windowed-sinc designer used everywhere
 else (fir_design), cutoff fs/(2M).
+
+Scope note: critical sampling suits channel-centered signals (AM carriers,
+power maps, digital channels). Arbitrary-offset SSB monitoring needs either
+wider channels or an oversampled PFB (future work); ReceiverBank covers that
+case today at O(M) cost.
 """
 
 from __future__ import annotations

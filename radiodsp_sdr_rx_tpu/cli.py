@@ -131,10 +131,10 @@ def cmd_stream(args) -> int:
     pos = 0
     t0 = time.perf_counter()
     while pos < len(iq) or ring.available >= block:
-        # producer side (capture thread stand-in)
+        # producer side (capture thread stand-in); partial pushes retry on the
+        # next loop after the consumer drains — nothing is silently skipped
         if pos < len(iq):
-            pushed = ring.push_complex(iq[pos : pos + block])
-            pos += pushed if pushed else block  # dropped samples count upstream
+            pos += ring.push_complex(iq[pos : pos + block])
         # consumer side: drain in model blocks
         while ring.available >= block:
             seg = ring.pop_complex(block)

@@ -60,7 +60,7 @@ class FusedSSBBank:
 
         def fn(state: FusedBankState, xr, xi, incs, w_ssb, w_pbt):
             in_gain, out_gain = gains
-            n = xr.shape[-1]
+            n = xr.shape[-1]  # samples this segment (phase advance below)
             # the fused kernel mixes the *scaled, balanced* input; scaling is
             # folded into the operator at build time for Q (gain balance) and
             # applied here for the input gain

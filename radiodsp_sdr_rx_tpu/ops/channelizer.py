@@ -111,3 +111,94 @@ class PFBChannelizer:
         yi = jnp.moveaxis(yi, -1, -2)
         new_state = jnp.concatenate([xr[..., -hist:], xi[..., -hist:]], axis=-1)
         return yr, yi, new_state
+
+
+class OversampledPFB:
+    """2x-oversampled polyphase channelizer (hop M/2).
+
+    Same M channel centers as PFBChannelizer but each channel emerges at
+    2*fs/M — the passband is NOT critically folded, so signals at arbitrary
+    offsets inside a channel (SSB voice anywhere in the bin) survive intact
+    and can be re-mixed/demodulated downstream. This removes the critical
+    PFB's channel-centered restriction (the scope note above).
+
+    Math: output frame t is the M-point DFT of the polyphase sums taken at
+    hop H = M/2, times the twiddle e^{-j*pi*k*t} = (-1)^(k*t) (trivial for
+    even frames, a sign flip on odd channels for odd frames). Odd output
+    frames coincide with the critically-sampled PFB's frames (same windows);
+    the even frames are the extra half-hop samples in between.
+
+    Implementation is gather-free: the stream is reshaped into H-sample rows
+    and each polyphase tap contributes via shifted row slices; low phases
+    (r < H) read even row offsets, high phases odd — two stacked
+    slice-multiply-accumulate pyramids and one DFT matmul pair (MXU).
+    """
+
+    def __init__(self, n_channels: int, taps_per_phase: int = 8,
+                 sample_rate: float = 44117.64706):
+        if n_channels % 2:
+            raise ValueError("n_channels must be even")
+        self.m = n_channels
+        self.h = n_channels // 2
+        self.p = taps_per_phase
+        proto = design_prototype(n_channels, taps_per_phase, sample_rate)
+        self.h_poly = proto.reshape(taps_per_phase, n_channels)  # (P, M)
+        c, s = dft_matrices(n_channels)
+        self.dft_cos = c
+        self.dft_sin = s
+        # history: P*M - H samples — frame t reads padded[t*H + j*M + r]
+        # for j < P, r < M, so the last frame needs P*M - H of lookback
+        self.hist = taps_per_phase * n_channels - self.h
+
+    def init_state(self, leading: tuple = ()) -> np.ndarray:
+        """(..., 2*hist) planar carry [re | im]."""
+        return np.zeros(leading + (2 * self.hist,), np.float32)
+
+    def __call__(self, xr: jax.Array, xi: jax.Array, state: jax.Array,
+                 precision=jax.lax.Precision.HIGHEST):
+        """Channelize. xr, xi: (..., n), n a multiple of M.
+
+        Returns (yr, yi, new_state) with y: (..., M, 2*n/M) per-channel
+        baseband at rate 2*fs/M; channel k centered at +k*fs/M.
+        """
+        m, p, h = self.m, self.p, self.h
+        n = xr.shape[-1]
+        if n % m:
+            raise ValueError(f"segment length {n} not a multiple of M={m}")
+        n_out = 2 * (n // m)          # frames at hop H
+        hist = self.hist
+        hr, hi = state[..., :hist], state[..., hist:]
+        h_poly = jnp.asarray(self.h_poly)
+
+        def poly(x, h_carry):
+            padded = jnp.concatenate([h_carry, x], axis=-1)  # (..., n + hist)
+            rows = padded.shape[-1] // h                     # n_out + 2P - 1
+            b = padded.reshape(*x.shape[:-1], rows, h)
+            lo = h_poly[0, :h] * b[..., 0:n_out, :]
+            hi_ = h_poly[0, h:] * b[..., 1 : 1 + n_out, :]
+            for j in range(1, p):
+                lo = lo + h_poly[j, :h] * b[..., 2 * j : 2 * j + n_out, :]
+                hi_ = hi_ + h_poly[j, h:] * b[..., 2 * j + 1 : 2 * j + 1 + n_out, :]
+            return jnp.concatenate([lo, hi_], axis=-1)       # (..., n_out, M)
+
+        vr = poly(xr, hr)
+        vi = poly(xi, hi)
+        cm = jnp.asarray(self.dft_cos)
+        sm = jnp.asarray(self.dft_sin)
+        yr = (jnp.matmul(vr, cm, precision=precision)
+              + jnp.matmul(vi, sm, precision=precision))
+        yi = (jnp.matmul(vi, cm, precision=precision)
+              - jnp.matmul(vr, sm, precision=precision))
+        # twiddle (-1)^(k(t+1)): the hop twiddle (-1)^(kt) times the history
+        # offset's (-1)^k (hist = PM - H is an odd multiple of H) — together:
+        # sign-flip odd channels on EVEN frames. This makes y[k, t] equal
+        # mix-by-k*fs/M -> prototype correlation -> sample at t*H exactly.
+        t_idx = jnp.arange(n_out)[:, None]
+        k_idx = jnp.arange(m)[None, :]
+        tw = jnp.where(((t_idx + 1) & 1) * (k_idx & 1) == 1, -1.0, 1.0).astype(yr.dtype)
+        yr = yr * tw
+        yi = yi * tw
+        yr = jnp.moveaxis(yr, -1, -2)
+        yi = jnp.moveaxis(yi, -1, -2)
+        new_state = jnp.concatenate([xr[..., -hist:], xi[..., -hist:]], axis=-1)
+        return yr, yi, new_state

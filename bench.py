@@ -4,9 +4,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric (BASELINE.json): IQ megasamples/s/chip through the FULL receive
-chain — preprocessor -> NCO mix -> sideband band-pass + fused SSB demod (MXU
-collapsed overlap-save operator) -> AGC -> PBT audio filter -> output gain —
-on a 128-channel receiver bank (planar f32 pipeline, single chip).
+chain — input gain/IQ balance -> NCO mix -> sideband band-pass + fused SSB
+demod (MXU collapsed overlap-save operator) -> AGC -> PBT audio filter ->
+output gain — on a 128-channel receiver bank, single chip. Production path:
+FusedSSBBank backend="sweep" (ops/pallas_sweep.sweep_full_chain), the whole
+chain in ONE single-sweep Pallas kernel (2-slot VMEM DMA ring over time,
+in-kernel log-domain cummax AGC; 8 B read + 8 B write per sample). Falls back
+to the XLA planar ReceiverBank if the kernel path fails.
 
 vs_baseline: the reference is a hard-real-time appliance processing exactly
 44117.647 IQ samples/s on its Teensy 4.0 (SURVEY.md §6, BASELINE.md) — the
@@ -42,6 +46,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from radiodsp_sdr_rx_tpu.models.config import AGCMode, DemodMode, ReceiverConfig
+    from radiodsp_sdr_rx_tpu.models.fused import FusedSSBBank
     from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
 
     cfg = ReceiverConfig(
@@ -51,7 +56,10 @@ def main() -> None:
         agc=AGCMode.MEDIUM,
     )
     freqs = [7_190_000.0 + 1_000.0 * k for k in range(N_CHANNELS)]
-    bank = ReceiverBank(cfg, freqs)
+    if "--xla-bank" in sys.argv:
+        bank = ReceiverBank(cfg, freqs)
+    else:
+        bank = FusedSSBBank(cfg, freqs, block_t=8192, backend="sweep")
     state = jax.device_put(bank.init_state())
 
     rng = np.random.default_rng(0)
@@ -113,8 +121,11 @@ if __name__ == "__main__":
     last = None
     for attempt in range(4):
         try:
+            # last attempt falls back to the XLA planar bank in case the
+            # Pallas sweep path hits a backend regression
+            extra = ["--xla-bank"] if attempt == 3 else []
             r = subprocess.run(
-                [sys.executable, __file__, "--inner"],
+                [sys.executable, __file__, "--inner", *extra],
                 timeout=420, capture_output=True, text=True,
             )
             sys.stderr.write(r.stderr)

@@ -3,12 +3,15 @@
 Where ``ReceiverBank`` runs M independent full-rate DDC chains (cost O(M) per
 input sample), this bank channelizes once with the polyphase filter bank
 (ops/channelizer.py, cost O(taps/M + log M)) and then processes every channel
-at the decimated rate fs/M — the architecture that makes BASELINE config 5's
+at the decimated rate — the architecture that makes BASELINE config 5's
 1024-channel bank cheap. Per-channel processing offered at this stage:
 
   - 'baseband': raw complex channel streams (feed downstream demods)
   - 'am': envelope demod + DC blocker per channel (broadcast monitoring)
   - 'power': smoothed per-channel power (band scanner / activity map)
+  - 'ssb': 2x-oversampled PFB + per-channel residual NCO + sideband
+    filter/SSB demod at the channel rate (+ optional AGC) — arbitrary
+    in-channel offsets, the case the critical PFB cannot serve
 
 All stages are batched planar ops; state is a pytree like everything else.
 """
@@ -21,14 +24,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from radiodsp_sdr_rx_tpu.ops.channelizer import PFBChannelizer
+from radiodsp_sdr_rx_tpu.ops import agc as agc_ops
+from radiodsp_sdr_rx_tpu.ops import nco as nco_ops
+from radiodsp_sdr_rx_tpu.ops.channelizer import OversampledPFB, PFBChannelizer
+from radiodsp_sdr_rx_tpu.ops.fir_design import design_filter_mask
 from radiodsp_sdr_rx_tpu.ops.iir import dc_blocker, first_order_iir
+from radiodsp_sdr_rx_tpu.ops.pallas_kernels import ssb_demod_operator
+from radiodsp_sdr_rx_tpu.ops.planar import ssb_filter_demod_planar
 
 
 class ChannelizedState(NamedTuple):
     pfb: jax.Array       # PFB history carry
     dc: jax.Array        # (M, 2) per-channel DC-blocker carry
     power: jax.Array     # (M,) smoothed power carry
+    nco: jax.Array       # (M,) residual-offset DDS phase (ssb mode)
+    tail_r: jax.Array    # (M, 128) SSB overlap-save tails (ssb mode)
+    tail_i: jax.Array
+    env: jax.Array       # (M,) AGC envelope (ssb mode)
 
 
 class ChannelizedBank:
@@ -37,19 +49,50 @@ class ChannelizedBank:
     >>> bank = ChannelizedBank(n_channels=64, demod="am")
     >>> out, state = bank.process(iq, state)   # iq (n,) complex, n % M == 0
     >>> out["audio"].shape                      # (64, n // 64)
+
+    SSB monitoring at arbitrary in-channel offsets (2x-oversampled front
+    end; segment length must be a multiple of 64*M so the channel streams
+    frame into 128-sample overlap-save blocks):
+
+    >>> bank = ChannelizedBank(n_channels=64, demod="ssb",
+    ...                        offsets_hz=offsets, agc="medium")
+    >>> out["audio"].shape                      # (64, n // 64 * 2)
     """
 
     def __init__(self, n_channels: int, sample_rate: float = 44117.64706,
                  demod: str = "am", taps_per_phase: int = 8,
-                 power_tau_blocks: float = 64.0):
-        if demod not in ("baseband", "am", "power"):
+                 power_tau_blocks: float = 64.0,
+                 offsets_hz=None, sideband: str = "usb",
+                 filter_lo_hz: float = 300.0, filter_hi_hz: float = 3000.0,
+                 agc: str = "off"):
+        if demod not in ("baseband", "am", "power", "ssb"):
             raise ValueError(demod)
         self.m = n_channels
         self.demod = demod
         self.sample_rate = sample_rate
-        self.channel_rate = sample_rate / n_channels
-        self.pfb = PFBChannelizer(n_channels, taps_per_phase, sample_rate)
+        if demod == "ssb":
+            self.pfb = OversampledPFB(n_channels, taps_per_phase, sample_rate)
+            self.channel_rate = 2.0 * sample_rate / n_channels
+        else:
+            self.pfb = PFBChannelizer(n_channels, taps_per_phase, sample_rate)
+            self.channel_rate = sample_rate / n_channels
         self._pow_a = float(np.exp(-1.0 / power_tau_blocks))
+
+        if demod == "ssb":
+            hi = min(filter_hi_hz, 0.45 * self.channel_rate)
+            lo, hi = (filter_lo_hz, hi) if sideband == "usb" else (-hi, -filter_lo_hz)
+            mask = design_filter_mask(lo, hi, self.channel_rate)
+            self._w_ssb = ssb_demod_operator(mask)
+            offs = np.zeros(n_channels) if offsets_hz is None else np.asarray(
+                offsets_hz, np.float64)
+            if offs.shape != (n_channels,):
+                raise ValueError("offsets_hz must have shape (n_channels,)")
+            self._incs = np.stack([
+                nco_ops.freq_to_phase_inc(f, self.channel_rate) for f in offs])
+            presets = agc_ops.agc_presets(self.channel_rate)
+            if agc not in presets:
+                raise ValueError(f"agc must be one of {sorted(presets)}")
+            self._agc = presets[agc]
 
         def fn(state: ChannelizedState, xr, xi):
             yr, yi, pfb_state = self.pfb(xr, xi, state.pfb)
@@ -60,11 +103,31 @@ class ChannelizedBank:
                 p_inst, self._pow_a, 1.0 - self._pow_a, power)
             out["power"] = power
             out["power_track"] = p_track
+            nco, tail_r, tail_i, env = (state.nco, state.tail_r,
+                                        state.tail_i, state.env)
             if demod == "am":
-                env = jnp.sqrt(p_inst)
-                audio, dc = dc_blocker(env, dc)
+                env_am = jnp.sqrt(p_inst)
+                audio, dc = dc_blocker(env_am, dc)
                 out["audio"] = audio
-            return out, ChannelizedState(pfb=pfb_state, dc=dc, power=power)
+            elif demod == "ssb":
+                n_out = yr.shape[-1]
+                incs = jnp.asarray(self._incs, jnp.uint32)
+                ph = jax.lax.bitcast_convert_type(state.nco, jnp.int32)
+                inc_i = jax.lax.bitcast_convert_type(incs, jnp.int32)
+                j = jnp.arange(n_out, dtype=jnp.int32)
+                ang = ((ph[:, None] + j[None, :] * inc_i[:, None])
+                       .astype(jnp.float32) * np.float32(2 * np.pi / 2**32))
+                c, s = jnp.cos(ang), jnp.sin(ang)
+                mr = yr * c + yi * s
+                mi = yi * c - yr * s
+                audio, tail_r, tail_i = ssb_filter_demod_planar(
+                    mr, mi, jnp.asarray(self._w_ssb), tail_r, tail_i)
+                audio, env = agc_ops.agc_run(audio, self._agc, env)
+                nco = state.nco + jnp.asarray(n_out, jnp.uint32) * incs
+                out["audio"] = audio
+            return out, ChannelizedState(pfb=pfb_state, dc=dc, power=power,
+                                         nco=nco, tail_r=tail_r,
+                                         tail_i=tail_i, env=env)
 
         self._fn = jax.jit(fn)
 
@@ -73,11 +136,15 @@ class ChannelizedBank:
             pfb=self.pfb.init_state(),
             dc=np.zeros((self.m, 2), np.float32),
             power=np.zeros(self.m, np.float32),
+            nco=np.zeros(self.m, np.uint32),
+            tail_r=np.zeros((self.m, 128), np.float32),
+            tail_i=np.zeros((self.m, 128), np.float32),
+            env=np.full(self.m, 1e-6, np.float32),
         )
 
     def channel_freq(self, k: int, center_freq: float = 0.0) -> float:
         """RF center of channel k (k >= M/2 wraps to negative offsets)."""
-        off = k * self.channel_rate
+        off = k * self.sample_rate / self.m
         if k >= self.m // 2:
             off -= self.sample_rate
         return center_freq + off

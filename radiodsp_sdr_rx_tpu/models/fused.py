@@ -1,11 +1,18 @@
 """Fused fast-path receiver bank: the Pallas production pipeline for SSB modes.
 
-Routes the SSB chain through the fused Pallas kernels
-(ops/pallas_kernels.py): mix+filter+demod as one kernel, AGC in XLA (scan-free
-associative form — kept outside to preserve the reference's stage order), and
-the PBT stage as a second kernel. Streaming state (DDS phase, framing tails,
-AGC envelope) threads call-to-call exactly like models/receiver.ReceiverBank,
-and the output matches it to f32 tolerance (tests/test_fused_bank.py).
+Two Pallas backends, selected by ``backend=``:
+
+  - "sweep" (default): the WHOLE chain — NCO mix + sideband filter + SSB
+    demod + AGC + PBT — in ONE single-sweep kernel
+    (ops/pallas_sweep.sweep_full_chain). Time streams through a 2-slot VMEM
+    DMA ring; all carries (framing tails, AGC envelope) live in VMEM. HBM
+    traffic is 8 B read + 8 B write per sample — ~2x the staged path.
+  - "staged": mix+filter+demod kernel, AGC in XLA (scan-free associative
+    form), PBT kernel (ops/pallas_kernels.py).
+
+Streaming state (DDS phase, framing tails, AGC envelope) threads
+call-to-call exactly like models/receiver.ReceiverBank, and the output
+matches it to f32 tolerance (tests/test_fused_bank.py).
 
 Use when: many-channel SSB monitoring at maximum throughput with AGC, no
 NR/noise-blanker stages. Fall back to ReceiverBank for AM/SAM/NR configs.
@@ -37,11 +44,15 @@ class FusedSSBBank:
 
     def __init__(self, config: ReceiverConfig, freqs_hz,
                  block_c: int = 8, block_t: int = 4096,
+                 backend: str = "sweep",
                  interpret: bool = False):
         if config.mode in (DemodMode.AM, DemodMode.SAM):
             raise ValueError("FusedSSBBank covers SSB modes; use ReceiverBank")
         if config.nr.kind != "off" or config.noise_blanker:
             raise ValueError("NR/noise-blanker configs use ReceiverBank")
+        if backend not in ("staged", "sweep"):
+            raise ValueError(backend)
+        self.backend = backend
         self.config = config
         self.n_channels = len(freqs_hz)
         p = build_params(config)
@@ -57,6 +68,32 @@ class FusedSSBBank:
             release=p.agc_release, target=p.agc_target,
             max_gain=p.agc_max_gain, enabled=p.agc_enabled)
         gains = (np.float32(config.input_gain), np.float32(config.output_gain))
+
+        def fn_sweep(state: FusedBankState, xr, xi, incs, w_ssb, w_pbt):
+            in_gain, out_gain = gains
+            n = xr.shape[-1]
+            xr = xr * in_gain
+            xi = xi * (in_gain * np.float32(config.iq_gain_balance))
+            from radiodsp_sdr_rx_tpu.ops.pallas_sweep import sweep_full_chain
+            l, r, atail, env = sweep_full_chain(
+                xr, xi, incs, state.nco_phase,
+                w_ssb, w_pbt,
+                state.sb_tail[:, :128], state.sb_tail[:, 128:],
+                state.audio_tail, state.agc_env,
+                agc_release=agc_params.release, agc_target=agc_params.target,
+                agc_max_gain=agc_params.max_gain,
+                agc_enabled=bool(agc_params.enabled),
+                out_gain=float(out_gain),
+                block_c=block_c, chunk_t=block_t, interpret=interpret,
+            )
+            new_state = FusedBankState(
+                nco_phase=state.nco_phase
+                + jnp.asarray(n, jnp.uint32) * incs.astype(jnp.uint32),
+                sb_tail=jnp.concatenate([xr[:, -128:], xi[:, -128:]], axis=-1),
+                audio_tail=atail,
+                agc_env=env,
+            )
+            return {"audio_l": l, "audio_r": r}, new_state
 
         def fn(state: FusedBankState, xr, xi, incs, w_ssb, w_pbt):
             in_gain, out_gain = gains
@@ -88,7 +125,7 @@ class FusedSSBBank:
             )
             return {"audio_l": l * out_gain, "audio_r": r * out_gain}, new_state
 
-        self._fn = jax.jit(fn)
+        self._fn = jax.jit(fn_sweep if backend == "sweep" else fn)
 
     def init_state(self) -> FusedBankState:
         c = self.n_channels

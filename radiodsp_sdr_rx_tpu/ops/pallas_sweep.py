@@ -26,23 +26,39 @@ from jax.experimental.pallas import tpu as pltpu
 _PHASE_SCALE = np.float32(2.0 * np.pi / 4294967296.0)
 
 
+def _even_chunks(n: int, chunk_t: int) -> int:
+    """Largest chunk_t' <= chunk_t with n % chunk_t' == 0 and an EVEN number
+    of chunks (the loop body is unrolled 2 chunks/iter for static DMA slots)."""
+    chunk_t = min(chunk_t, n)
+    while chunk_t >= 128 and (n % chunk_t or (n // chunk_t) % 2):
+        chunk_t //= 2
+    if chunk_t < 128:
+        raise ValueError(f"cannot chunk n={n} into an even number of "
+                         "128-multiple chunks")
+    return chunk_t
+
+
 def _sweep_kernel(
     inc_ref, phase0_ref, xr_hbm, xi_hbm, w_ref, out_hbm,
     buf_r, buf_i, buf_o, sem_r, sem_i, sem_o, tail_r, tail_i,
     *, chunk_nb: int, n_chunks: int, out_gain: float,
 ):
     """One channel-block: stream the full time axis in chunks of
-    ``chunk_nb`` 128-sample blocks. Buffers (2, cb, chunk_nb, 128)."""
+    ``chunk_nb`` 128-sample blocks. Buffers (2, cb, chunk_nb, 128).
+
+    HBM refs are the WHOLE arrays (this backend requires trivial index maps
+    for ``pl.ANY``); the channel-block slice happens inside the DMA."""
     cb = buf_r.shape[1]
+    c0 = pl.program_id(0) * cb
 
     def dma_in(slot, t):
         return (
             pltpu.make_async_copy(
-                xr_hbm.at[:, pl.ds(t * chunk_nb, chunk_nb)], buf_r.at[slot],
-                sem_r.at[slot]),
+                xr_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                buf_r.at[slot], sem_r.at[slot]),
             pltpu.make_async_copy(
-                xi_hbm.at[:, pl.ds(t * chunk_nb, chunk_nb)], buf_i.at[slot],
-                sem_i.at[slot]),
+                xi_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                buf_i.at[slot], sem_i.at[slot]),
         )
 
     tail_r[:] = jnp.zeros_like(tail_r)
@@ -57,12 +73,12 @@ def _sweep_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (cb, chunk_nb, 128), 2)
     j_local = blk * 128 + lane
 
-    def body(t, _):
-        slot = t % 2
-
+    # slot indices must be STATIC (this backend has no dynamic_slice on VMEM
+    # vectors), so the loop body is unrolled two chunks per iteration.
+    def process(t, slot: int):
         @pl.when(t + 1 < n_chunks)
         def _():
-            nr, ni = dma_in((t + 1) % 2, t + 1)
+            nr, ni = dma_in(1 - slot, t + 1)
             nr.start()
             ni.start()
 
@@ -88,18 +104,23 @@ def _sweep_kernel(
             preferred_element_type=jnp.float32,
         ).reshape(cb, chunk_nb, 128)
 
-        tail_r[:] = br[:, -1, :]
-        tail_i[:] = bi[:, -1, :]
+        tail_r[:] = br[:, chunk_nb - 1, :]
+        tail_i[:] = bi[:, chunk_nb - 1, :]
 
         buf_o[slot] = y * out_gain
         d_out = pltpu.make_async_copy(
-            buf_o.at[slot], out_hbm.at[:, pl.ds(t * chunk_nb, chunk_nb)],
+            buf_o.at[slot],
+            out_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
             sem_o.at[slot])
         d_out.start()
         d_out.wait()
+
+    def body(u, _):
+        process(2 * u, 0)
+        process(2 * u + 1, 1)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    jax.lax.fori_loop(0, n_chunks // 2, body, 0)
 
 
 def sweep_mix_filter_demod(
@@ -123,6 +144,7 @@ def sweep_mix_filter_demod(
     inc = jax.lax.bitcast_convert_type(jnp.asarray(inc, jnp.uint32), jnp.int32)
     phase0 = jax.lax.bitcast_convert_type(jnp.asarray(phase0, jnp.uint32), jnp.int32)
     c, n = xr.shape
+    chunk_t = _even_chunks(n, chunk_t)
     chunk_nb = chunk_t // 128
     n_chunks = n // chunk_t
     x3r = xr.reshape(c, n // 128, 128)
@@ -137,15 +159,12 @@ def sweep_mix_filter_demod(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_c, 1), lambda ci: (ci, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_c, n // 128, 128), lambda ci: (ci, 0, 0),
-                         memory_space=pl.ANY),
-            pl.BlockSpec((block_c, n // 128, 128), lambda ci: (ci, 0, 0),
-                         memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((512, 128), lambda ci: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_c, n // 128, 128), lambda ci: (ci, 0, 0),
-                               memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((c, n // 128, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, block_c, chunk_nb, 128), jnp.float32),
@@ -160,3 +179,288 @@ def sweep_mix_filter_demod(
         interpret=interpret,
     )(inc[:, None], phase0[:, None], x3r, x3i, w)
     return audio.reshape(c, n)
+
+
+# ---------------------------------------------------------------------------
+# Full-chain sweep: mix + sideband filter + SSB demod + AGC + PBT in ONE kernel
+# ---------------------------------------------------------------------------
+
+def _env_lanes(mag: jax.Array, release: float) -> jax.Array:
+    """Within-row decaying running max along the lane axis:
+    x[t] = max_{k<=t} mag[k] * release^(t-k), via 7 doubling max-shifts with
+    STATIC scalar decay factors (linear domain — no logs/exps)."""
+    cb, nb = mag.shape[0], mag.shape[1]
+    x = mag
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        f = np.float32(release ** sh)
+        pad = jnp.zeros((cb, nb, sh), x.dtype)
+        x = jnp.maximum(x, jnp.concatenate([pad, x[..., :-sh]], axis=-1) * f)
+    return x
+
+
+def _env_rows(seq: jax.Array, release128: float) -> jax.Array:
+    """Inclusive decaying-max scan along axis 1 of (cb, nb), factor
+    release^128 per step (Hillis-Steele doubling)."""
+    cb, nb = seq.shape
+    sh = 1
+    while sh < nb:
+        f = np.float32(release128 ** sh)
+        pad = jnp.zeros((cb, sh), seq.dtype)
+        seq = jnp.maximum(seq,
+                          jnp.concatenate([pad, seq[:, :-sh]], axis=1) * f)
+        sh *= 2
+    return seq
+
+
+def _full_chain_kernel(
+    inc_ref, phase0_ref, tin_r_ref, tin_i_ref, atail_in_ref, env0_ref,
+    xr_hbm, xi_hbm, wssb_ref, wpbt_ref,
+    l_hbm, r_hbm, atail_out_ref, env_out_ref,
+    buf_r, buf_i, buf_l, buf_ro, sem_r, sem_i, sem_l, sem_ro,
+    tail_r, tail_i, audio_tail, env_carry,
+    *, chunk_nb: int, n_chunks: int, out_gain: float,
+    agc_release: float, agc_target: float, agc_max_gain: float,
+    agc_enabled: bool, emit_r: bool,
+):
+    """The whole reference conv-engine chain for one channel block, streaming
+    the time axis through a 2-slot VMEM ring. Parity chain (to f32 tol):
+
+      NCO mix -> overlap-save sideband filter + SSB demod (one MXU matmul,
+      RDSP_convolutional.h:291-309 collapsed) -> AGC (instant-attack /
+      exponential-release, ops/agc.py law) -> PBT audio filter (pbt_operator
+      matmul) -> out gain.
+
+    AGC recurrence env[k] = max(|a[k]|, env[k-1]*release) is computed in the
+    LINEAR domain as a decaying-max doubling scan: 7 lane shifts with static
+    scalar factors release^(2^i), then a row scan with factor release^128 —
+    O(log n) depth, no per-sample loop, and (unlike ops/agc.py's log-domain
+    XLA form, which needs k*d offsets for associativity) no logs/exps at all.
+    env_carry (linear) and framing tails persist in VMEM across chunks.
+    """
+    cb = buf_r.shape[1]
+    c0 = pl.program_id(0) * cb
+
+    def dma_in(slot, t):
+        return (
+            pltpu.make_async_copy(
+                xr_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                buf_r.at[slot], sem_r.at[slot]),
+            pltpu.make_async_copy(
+                xi_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                buf_i.at[slot], sem_i.at[slot]),
+        )
+
+    inc = inc_ref[:][:, :, None]              # (cb, 1, 1) int32
+    ph0 = phase0_ref[:][:, :, None]
+
+    # mix the raw input tails (positions -128..-1) into the carried mixed tail
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (cb, 1, 128), 2)
+    ang_t = ((ph0 + (lane_t - 128) * inc).astype(jnp.float32) * _PHASE_SCALE)
+    ct, st = jnp.cos(ang_t), jnp.sin(ang_t)
+    tr_in = tin_r_ref[:][:, None, :]
+    ti_in = tin_i_ref[:][:, None, :]
+    tail_r[:] = (tr_in * ct + ti_in * st)[:, 0, :]
+    tail_i[:] = (ti_in * ct - tr_in * st)[:, 0, :]
+    audio_tail[:] = atail_in_ref[:]
+    env_carry[:] = jnp.broadcast_to(env0_ref[:], (cb, 128))
+
+    d0r, d0i = dma_in(0, 0)
+    d0r.start()
+    d0i.start()
+
+    blk = jax.lax.broadcasted_iota(jnp.int32, (cb, chunk_nb, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cb, chunk_nb, 128), 2)
+    j_local = blk * 128 + lane
+    # per-lane decay release^(l+1) for the row-carry contribution (computed
+    # once; the only transcendental in the AGC)
+    lane1 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2) + 1
+             ).astype(jnp.float32)  # int iota + cast (no f32 iota on TPU)
+    r_lane = jnp.exp(np.float32(np.log(agc_release)) * lane1) \
+        if agc_release < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
+    release128 = float(np.float64(agc_release) ** 128)
+
+    def process(t, slot: int):
+        @pl.when(t + 1 < n_chunks)
+        def _():
+            nr, ni = dma_in(1 - slot, t + 1)
+            nr.start()
+            ni.start()
+
+        cr, ci = dma_in(slot, t)
+        cr.wait()
+        ci.wait()
+
+        phase = ph0 + (t * (chunk_nb * 128) + j_local) * inc
+        ang = phase.astype(jnp.float32) * _PHASE_SCALE
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        xr = buf_r[slot]
+        xi = buf_i[slot]
+        br = xr * c + xi * s
+        bi = xi * c - xr * s
+
+        prev_r = jnp.concatenate([tail_r[:][:, None, :], br[:, :-1, :]], axis=1)
+        prev_i = jnp.concatenate([tail_i[:][:, None, :], bi[:, :-1, :]], axis=1)
+        frames = jnp.concatenate([prev_r, br, prev_i, bi], axis=-1)
+        audio = jax.lax.dot_general(
+            frames.reshape(cb * chunk_nb, 512), wssb_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(cb, chunk_nb, 128)
+        tail_r[:] = br[:, chunk_nb - 1, :]
+        tail_i[:] = bi[:, chunk_nb - 1, :]
+
+        # ---- AGC (linear-domain decaying-max doubling scan) ----
+        run = _env_lanes(jnp.abs(audio), agc_release)   # within-row env
+        # inclusive row scan over [env_carry, row_env_0 .. row_env_{nb-2}]:
+        # c[j] = env at the end of row j-1 (i.e. the carry INTO row j)
+        seq = jnp.concatenate(
+            [env_carry[:][:, 0:1], run[:, :-1, 127]], axis=1)  # (cb, nb)
+        carry_in = _env_rows(seq, release128)
+        env = jnp.maximum(run, carry_in[:, :, None] * r_lane)
+        env_carry[:] = jnp.broadcast_to(                # env at last sample
+            env[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+        if agc_enabled:
+            gain = jnp.minimum(
+                np.float32(agc_target) / jnp.maximum(env, np.float32(1e-12)),
+                np.float32(agc_max_gain))
+            audio_g = audio * gain
+        else:
+            audio_g = audio
+
+        # ---- PBT audio filter (one matmul, [L|R]) ----
+        prev_a = jnp.concatenate(
+            [audio_tail[:][:, None, :], audio_g[:, :-1, :]], axis=1)
+        frames2 = jnp.concatenate([prev_a, audio_g], axis=-1)
+        lr = jax.lax.dot_general(
+            frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(cb, chunk_nb, 256)
+        audio_tail[:] = audio_g[:, chunk_nb - 1, :]
+
+        buf_l[slot] = lr[..., :128] * out_gain
+        dl = pltpu.make_async_copy(
+            buf_l.at[slot],
+            l_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+            sem_l.at[slot])
+        dl.start()
+        if emit_r:
+            buf_ro[slot] = lr[..., 128:] * out_gain
+            dr = pltpu.make_async_copy(
+                buf_ro.at[slot],
+                r_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                sem_ro.at[slot])
+            dr.start()
+            dr.wait()
+        dl.wait()
+
+    def body(u, _):
+        process(2 * u, 0)
+        process(2 * u + 1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks // 2, body, 0)
+    atail_out_ref[:] = audio_tail[:]
+    env_out_ref[:] = env_carry[:]
+
+
+def sweep_full_chain(
+    xr: jax.Array,
+    xi: jax.Array,
+    inc: jax.Array,
+    phase0: jax.Array,
+    w_ssb: jax.Array,
+    w_pbt: jax.Array,
+    tail_r: jax.Array,
+    tail_i: jax.Array,
+    audio_tail: jax.Array,
+    env0: jax.Array,
+    agc_release: float,
+    agc_target: float,
+    agc_max_gain: float,
+    agc_enabled: bool = True,
+    out_gain: float = 1.0,
+    block_c: int = 8,
+    chunk_t: int = 4096,
+    emit_r: bool = True,
+    interpret: bool = False,
+):
+    """Whole SSB receive chain in one single-sweep Pallas kernel.
+
+    HBM traffic: 8 B read + 8 B write per sample stereo (4 B write mono) — vs
+    ~40 B for the three-stage fused path. Args:
+
+      xr, xi:      (C, n) f32 planar IQ (already input-gain/balance scaled)
+      inc, phase0: (C,) uint32 DDS words
+      w_ssb:       (512, 128) ssb_demod_operator
+      w_pbt:       (256, 256) pbt_operator
+      tail_r/i:    (C, 128) RAW scaled input last block of previous segment
+                   (zeros at stream start) — mixed in-kernel
+      audio_tail:  (C, 128) post-AGC audio tail of previous segment
+      env0:        (C,) AGC envelope carry
+      agc_release: per-sample envelope decay (ops/agc.AGCParams.release)
+
+    Returns (audio_l, audio_r, audio_tail_next, env_next); audio_r is None
+    when emit_r=False. State semantics match models/fused.FusedSSBBank.
+    """
+    inc = jax.lax.bitcast_convert_type(jnp.asarray(inc, jnp.uint32), jnp.int32)
+    phase0 = jax.lax.bitcast_convert_type(jnp.asarray(phase0, jnp.uint32), jnp.int32)
+    c, n = xr.shape
+    chunk_t = _even_chunks(n, chunk_t)
+    chunk_nb = chunk_t // 128
+    n_chunks = n // chunk_t
+    x3r = xr.reshape(c, n // 128, 128)
+    x3i = xi.reshape(c, n // 128, 128)
+    kernel = functools.partial(
+        _full_chain_kernel, chunk_nb=chunk_nb, n_chunks=n_chunks,
+        out_gain=out_gain, agc_release=float(agc_release),
+        agc_target=agc_target, agc_max_gain=agc_max_gain,
+        agc_enabled=agc_enabled, emit_r=emit_r)
+
+    def vspec(shape):
+        return pl.BlockSpec(shape, lambda ci: (ci,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    buf = pltpu.VMEM((2, block_c, chunk_nb, 128), jnp.float32)
+    sem = pltpu.SemaphoreType.DMA((2,))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(c // block_c,),
+        in_specs=[
+            vspec((block_c, 1)), vspec((block_c, 1)),
+            vspec((block_c, 128)), vspec((block_c, 128)),
+            vspec((block_c, 128)), vspec((block_c, 1)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((512, 128), lambda ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 256), lambda ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vspec((block_c, 128)),
+            vspec((block_c, 128)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, n // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, n // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            buf, buf, buf, buf, sem, sem, sem, sem,
+            pltpu.VMEM((block_c, 128), jnp.float32),
+            pltpu.VMEM((block_c, 128), jnp.float32),
+            pltpu.VMEM((block_c, 128), jnp.float32),
+            pltpu.VMEM((block_c, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(inc[:, None], phase0[:, None], tail_r, tail_i, audio_tail,
+      jnp.asarray(env0, jnp.float32)[:, None], x3r, x3i, w_ssb, w_pbt)
+    audio_l, audio_r, atail, env_out = outs
+    env_next = env_out[:, 0]
+    audio_l = audio_l.reshape(c, n)
+    audio_r = audio_r.reshape(c, n) if emit_r else None
+    return audio_l, audio_r, atail, env_next

@@ -57,3 +57,47 @@ def test_streaming_continuity(rng):
     got = np.concatenate([np.asarray(o1["audio"]), np.asarray(o2["audio"])],
                          axis=-1)
     np.testing.assert_allclose(got, np.asarray(out_f["audio"]), atol=1e-5)
+
+
+def test_ssb_mode_offset_voice_tone():
+    """demod='ssb': a USB tone 800 Hz above an arbitrary in-channel offset
+    demodulates to 800 Hz audio at the 2x channel rate."""
+    m = 16
+    n = m * 64 * 32          # multiple of 64*M for overlap-save framing
+    k, delta = 5, 400.0      # "dial" frequency 400 Hz off channel center
+    offsets = np.zeros(m)
+    offsets[k] = delta
+    bank = ChannelizedBank(n_channels=m, demod="ssb", offsets_hz=offsets,
+                           agc="medium")
+    # USB signal: tone 800 Hz above the dial frequency
+    f_rf = k * FS / m + delta + 800.0
+    iq = (siggen.carrier(n, f_rf, FS, amp=0.4)
+          + siggen.noise(n, 0.003)).astype(np.complex64)
+
+    out, _ = bank.process(iq, bank.init_state())
+    audio = np.asarray(out["audio"])
+    ch_rate = 2 * FS / m
+    assert audio.shape == (m, int(n // m * 2))
+    a = audio[k, 1024:]
+    spec = np.abs(np.fft.rfft((a - a.mean()) * np.hanning(len(a))))
+    freqs = np.fft.rfftfreq(len(a), 1 / ch_rate)
+    assert abs(freqs[spec.argmax()] - 800.0) < 10.0, freqs[spec.argmax()]
+    # AGC pulled the tone toward the target level
+    assert 0.2 < np.abs(a).max() < 1.5
+
+
+def test_ssb_mode_streaming_continuity(rng):
+    m = 8
+    n = m * 64 * 4
+    offsets = rng.uniform(-500, 500, m)
+    bank = ChannelizedBank(n_channels=m, demod="ssb", offsets_hz=offsets)
+    iq = ((rng.standard_normal(2 * n) + 1j * rng.standard_normal(2 * n))
+          .astype(np.complex64) * 0.2)
+
+    out_f, _ = bank.process(iq, bank.init_state())
+    st = bank.init_state()
+    o1, st = bank.process(iq[:n], st)
+    o2, _ = bank.process(iq[n:], st)
+    got = np.concatenate([np.asarray(o1["audio"]), np.asarray(o2["audio"])],
+                         axis=-1)
+    np.testing.assert_allclose(got, np.asarray(out_f["audio"]), atol=2e-5)

@@ -58,3 +58,27 @@ def test_fused_rejects_unsupported_configs():
         FusedSSBBank(cfg.with_(mode=DemodMode.AM), freqs)
     with pytest.raises(ValueError):
         FusedSSBBank(cfg.with_(nr=NRMode.DNR1), freqs)
+
+
+def test_sweep_backend_matches_staged_across_segments(rng):
+    """backend='sweep' (one full-chain kernel) == backend='staged', with
+    state threaded across two segments."""
+    n = 8192
+    cfg, freqs = _setup()
+    sweep = FusedSSBBank(cfg, freqs, block_t=2048, backend="sweep",
+                         interpret=True)
+    staged = FusedSSBBank(cfg, freqs, block_t=2048, backend="staged",
+                          interpret=True)
+    st_a, st_b = sweep.init_state(), staged.init_state()
+    for seg in range(2):
+        iq = ((rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n)))
+              .astype(np.complex64) * 0.2)
+        oa, st_a = sweep.process(iq, st_a)
+        ob, st_b = staged.process(iq, st_b)
+        np.testing.assert_allclose(np.asarray(oa["audio_l"]),
+                                   np.asarray(ob["audio_l"]), atol=2e-4,
+                                   err_msg=f"seg {seg}")
+        np.testing.assert_allclose(np.asarray(oa["audio_r"]),
+                                   np.asarray(ob["audio_r"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(st_a.agc_env),
+                                   np.asarray(st_b.agc_env), rtol=1e-4)

@@ -1,10 +1,12 @@
-"""Single-sweep DMA kernel (interpret mode) vs the stateless fused kernel."""
+"""Single-sweep DMA kernels (interpret mode) vs the staged fused path."""
 
 import numpy as np
 import jax.numpy as jnp
 
+from radiodsp_sdr_rx_tpu.ops import agc as agc_ops
 from radiodsp_sdr_rx_tpu.ops import fir_design, nco, pallas_kernels
-from radiodsp_sdr_rx_tpu.ops.pallas_sweep import sweep_mix_filter_demod
+from radiodsp_sdr_rx_tpu.ops.pallas_sweep import (
+    sweep_full_chain, sweep_mix_filter_demod)
 
 FS = 44117.64706
 
@@ -41,3 +43,90 @@ def test_sweep_chunk_invariance(rng):
                                incs, np.zeros(c, np.uint32), w,
                                chunk_t=8192, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_full_chain_matches_staged_streaming(rng):
+    """sweep_full_chain == mix/demod kernel -> XLA AGC -> PBT kernel, with
+    state threaded across two segments."""
+    c, n = 8, 2 * 4096
+    mask = fir_design.design_filter_mask(300.0, 3000.0, FS)
+    w_ssb = jnp.asarray(pallas_kernels.ssb_demod_operator(mask))
+    w_pbt = jnp.asarray(pallas_kernels.pbt_operator(mask))
+    params = agc_ops.AGC_PRESETS["fast"]
+    incs = np.asarray([nco.freq_to_phase_inc(700.0 * k, FS) for k in range(c)],
+                      np.uint32)
+    out_gain = 1.1
+
+    # staged reference path
+    phase = np.zeros(c, np.uint32)
+    sb_tail = jnp.zeros((c, 256), jnp.float32)
+    audio_tail = jnp.zeros((c, 128), jnp.float32)
+    env = jnp.full((c,), 1e-6, jnp.float32)
+    # sweep path state
+    s_tail_r = jnp.zeros((c, 128), jnp.float32)
+    s_tail_i = jnp.zeros((c, 128), jnp.float32)
+    s_atail = jnp.zeros((c, 128), jnp.float32)
+    s_env = jnp.full((c,), 1e-6, jnp.float32)
+
+    for seg in range(2):
+        iq = ((rng.standard_normal((c, n)) + 1j * rng.standard_normal((c, n)))
+              .astype(np.complex64) * 0.2)
+        xr, xi = jnp.asarray(iq.real), jnp.asarray(iq.imag)
+
+        audio = pallas_kernels.fused_mix_filter_demod(
+            xr, xi, incs, phase, w_ssb, tail=sb_tail, block_t=2048,
+            interpret=True)
+        audio_g, env = agc_ops.agc_run(audio, params, env)
+        want_l, want_r = pallas_kernels.pbt_filter(
+            audio_g, w_pbt, tail=audio_tail, block_t=2048, interpret=True)
+        want_l, want_r = want_l * out_gain, want_r * out_gain
+        sb_tail = jnp.concatenate([xr[:, -128:], xi[:, -128:]], axis=-1)
+        audio_tail = audio_g[:, -128:]
+
+        got_l, got_r, s_atail, s_env = sweep_full_chain(
+            xr, xi, incs, phase, w_ssb, w_pbt, s_tail_r, s_tail_i, s_atail,
+            s_env, params.release, params.target, params.max_gain,
+            agc_enabled=True, out_gain=out_gain, chunk_t=2048, interpret=True)
+        s_tail_r, s_tail_i = xr[:, -128:], xi[:, -128:]
+        phase = (phase + np.uint32(n) * incs).astype(np.uint32)
+
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                                   atol=2e-4, err_msg=f"L seg {seg}")
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                                   atol=2e-4, err_msg=f"R seg {seg}")
+        np.testing.assert_allclose(np.asarray(s_env), np.asarray(env),
+                                   rtol=1e-4, err_msg=f"env seg {seg}")
+        np.testing.assert_allclose(np.asarray(s_atail),
+                                   np.asarray(audio_tail), atol=2e-4)
+
+
+def test_full_chain_agc_disabled(rng):
+    """agc_enabled=False passes audio through while still tracking env."""
+    c, n = 8, 4096
+    mask = fir_design.design_filter_mask(300.0, 3000.0, FS)
+    w_ssb = jnp.asarray(pallas_kernels.ssb_demod_operator(mask))
+    w_pbt = jnp.asarray(pallas_kernels.pbt_operator(mask))
+    iq = ((rng.standard_normal((c, n)) + 1j * rng.standard_normal((c, n)))
+          .astype(np.complex64) * 0.2)
+    xr, xi = jnp.asarray(iq.real), jnp.asarray(iq.imag)
+    incs = np.full(c, nco.freq_to_phase_inc(2000.0, FS), np.uint32)
+    ph0 = np.zeros(c, np.uint32)
+    z128 = jnp.zeros((c, 128), jnp.float32)
+
+    audio = pallas_kernels.fused_mix_filter_demod(
+        xr, xi, incs, ph0, w_ssb, block_t=2048, interpret=True)
+    params = agc_ops.AGC_PRESETS["off"]
+    _, env_want = agc_ops.agc_run(audio, params, jnp.full((c,), 1e-6))
+    want_l, _ = pallas_kernels.pbt_filter(audio, w_pbt, block_t=2048,
+                                          interpret=True)
+
+    got_l, got_r, _, env = sweep_full_chain(
+        xr, xi, incs, ph0, w_ssb, w_pbt, z128, z128, z128,
+        jnp.full((c,), 1e-6, jnp.float32), params.release, params.target,
+        params.max_gain, agc_enabled=False, chunk_t=2048, emit_r=False,
+        interpret=True)
+    assert got_r is None
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(env), np.asarray(env_want),
+                               rtol=1e-4)

@@ -212,6 +212,31 @@ def _env_rows(seq: jax.Array, release128: float) -> jax.Array:
     return seq
 
 
+def _iir_lanes(x: jax.Array, pole: float) -> jax.Array:
+    """Within-row first-order IIR along the lane axis:
+    y[t] = sum_{k<=t} x[k] * pole^(t-k) — the `+` twin of _env_lanes (Hillis-
+    Steele doubling with STATIC scalar decay factors)."""
+    cb, nb = x.shape[0], x.shape[1]
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        f = np.float32(pole ** sh)
+        pad = jnp.zeros((cb, nb, sh), x.dtype)
+        x = x + jnp.concatenate([pad, x[..., :-sh]], axis=-1) * f
+    return x
+
+
+def _iir_rows(seq: jax.Array, pole128: float) -> jax.Array:
+    """Inclusive decaying-sum scan along axis 1 of (cb, nb), factor
+    pole^128 per step — the `+` twin of _env_rows."""
+    cb, nb = seq.shape
+    sh = 1
+    while sh < nb:
+        f = np.float32(pole128 ** sh)
+        pad = jnp.zeros((cb, sh), seq.dtype)
+        seq = seq + jnp.concatenate([pad, seq[:, :-sh]], axis=1) * f
+        sh *= 2
+    return seq
+
+
 def _full_chain_kernel(
     inc_ref, phase0_ref, tin_r_ref, tin_i_ref, atail_in_ref, env0_ref,
     xr_hbm, xi_hbm, wssb_ref, wpbt_ref,
@@ -464,3 +489,287 @@ def sweep_full_chain(
     audio_l = audio_l.reshape(c, n)
     audio_r = audio_r.reshape(c, n) if emit_r else None
     return audio_l, audio_r, atail, env_next
+
+
+# ---------------------------------------------------------------------------
+# Full-chain AM sweep: mix + band-pass + envelope + DC blocker + AGC + PBT
+# ---------------------------------------------------------------------------
+
+def _am_chain_kernel(
+    inc_ref, phase0_ref, tin_r_ref, tin_i_ref, atail_in_ref, env0_ref,
+    dcx0_ref, dcy0_ref,
+    xr_hbm, xi_hbm, wsb_ref, wpbt_ref,
+    l_hbm, r_hbm, atail_out_ref, env_out_ref, dcx_out_ref, dcy_out_ref,
+    buf_r, buf_i, buf_l, buf_ro, sem_r, sem_i, sem_l, sem_ro,
+    tail_r, tail_i, audio_tail, env_carry, dcx, dcy,
+    *, chunk_nb: int, n_chunks: int, out_gain: float,
+    agc_release: float, agc_target: float, agc_max_gain: float,
+    agc_enabled: bool, emit_r: bool, dc_pole: float,
+):
+    """The whole AM receive chain for one channel block, streaming the time
+    axis through a 2-slot VMEM ring. Parity chain (to f32 tol):
+
+      NCO mix -> overlap-save band-pass (full complex output, one MXU
+      matmul) -> envelope sqrt(I^2+Q^2) -> DC blocker
+      y[n] = env[n]-env[n-1] + dc_pole*y[n-1] (ops/iir.dc_blocker) -> AGC ->
+      PBT audio filter -> out gain.
+
+    The DC blocker's first-order IIR is computed in O(log n) depth as a
+    decaying-SUM doubling scan (lanes then rows) — the `+` twin of the AGC's
+    decaying-max scan. Carries (last envelope input sample dcx, last blocker
+    output dcy) persist in VMEM across chunks and are emitted for seamless
+    streaming (ReceiverState.am_dc semantics, models/receiver.py).
+    """
+    cb = buf_r.shape[1]
+    c0 = pl.program_id(0) * cb
+
+    def dma_in(slot, t):
+        return (
+            pltpu.make_async_copy(
+                xr_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                buf_r.at[slot], sem_r.at[slot]),
+            pltpu.make_async_copy(
+                xi_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                buf_i.at[slot], sem_i.at[slot]),
+        )
+
+    inc = inc_ref[:][:, :, None]
+    ph0 = phase0_ref[:][:, :, None]
+
+    # mix the raw input tails (positions -128..-1) into the carried mixed tail
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (cb, 1, 128), 2)
+    ang_t = ((ph0 + (lane_t - 128) * inc).astype(jnp.float32) * _PHASE_SCALE)
+    ct, st = jnp.cos(ang_t), jnp.sin(ang_t)
+    tr_in = tin_r_ref[:][:, None, :]
+    ti_in = tin_i_ref[:][:, None, :]
+    tail_r[:] = (tr_in * ct + ti_in * st)[:, 0, :]
+    tail_i[:] = (ti_in * ct - tr_in * st)[:, 0, :]
+    audio_tail[:] = atail_in_ref[:]
+    env_carry[:] = jnp.broadcast_to(env0_ref[:], (cb, 128))
+    dcx[:] = jnp.broadcast_to(dcx0_ref[:], (cb, 128))
+    dcy[:] = jnp.broadcast_to(dcy0_ref[:], (cb, 128))
+
+    d0r, d0i = dma_in(0, 0)
+    d0r.start()
+    d0i.start()
+
+    blk = jax.lax.broadcasted_iota(jnp.int32, (cb, chunk_nb, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cb, chunk_nb, 128), 2)
+    j_local = blk * 128 + lane
+    lane1 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2) + 1
+             ).astype(jnp.float32)
+    r_lane = jnp.exp(np.float32(np.log(agc_release)) * lane1) \
+        if agc_release < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
+    release128 = float(np.float64(agc_release) ** 128)
+    p_lane = jnp.exp(np.float32(np.log(dc_pole)) * lane1)
+    pole128 = float(np.float64(dc_pole) ** 128)
+
+    def process(t, slot: int):
+        @pl.when(t + 1 < n_chunks)
+        def _():
+            nr, ni = dma_in(1 - slot, t + 1)
+            nr.start()
+            ni.start()
+
+        cr, ci = dma_in(slot, t)
+        cr.wait()
+        ci.wait()
+
+        phase = ph0 + (t * (chunk_nb * 128) + j_local) * inc
+        ang = phase.astype(jnp.float32) * _PHASE_SCALE
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        xr = buf_r[slot]
+        xi = buf_i[slot]
+        br = xr * c + xi * s
+        bi = xi * c - xr * s
+
+        prev_r = jnp.concatenate([tail_r[:][:, None, :], br[:, :-1, :]], axis=1)
+        prev_i = jnp.concatenate([tail_i[:][:, None, :], bi[:, :-1, :]], axis=1)
+        frames = jnp.concatenate([prev_r, br, prev_i, bi], axis=-1)
+        zz = jax.lax.dot_general(
+            frames.reshape(cb * chunk_nb, 512), wsb_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(cb, chunk_nb, 256)
+        tail_r[:] = br[:, chunk_nb - 1, :]
+        tail_i[:] = bi[:, chunk_nb - 1, :]
+        zr = zz[..., :128]
+        zi = zz[..., 128:]
+
+        # ---- AM envelope + DC blocker (decaying-sum doubling scan) ----
+        env = jnp.sqrt(zr * zr + zi * zi)
+        prev_col = jnp.concatenate(
+            [dcx[:][:, 0:1, None][..., 0:1], env[:, :-1, 127:128]], axis=1)
+        env_shift = jnp.concatenate([prev_col, env[..., :-1]], axis=-1)
+        diff = env - env_shift
+        run = _iir_lanes(diff, dc_pole)                # within-row IIR
+        seq = jnp.concatenate(
+            [dcy[:][:, 0:1], run[:, :-1, 127]], axis=1)  # (cb, nb)
+        carry_in = _iir_rows(seq, pole128)             # y at end of row j-1
+        audio = run + carry_in[:, :, None] * p_lane
+        dcx[:] = jnp.broadcast_to(env[:, chunk_nb - 1, 127:128], (cb, 128))
+        dcy[:] = jnp.broadcast_to(audio[:, chunk_nb - 1, 127:128], (cb, 128))
+
+        # ---- AGC (linear-domain decaying-max doubling scan) ----
+        run_e = _env_lanes(jnp.abs(audio), agc_release)
+        seq_e = jnp.concatenate(
+            [env_carry[:][:, 0:1], run_e[:, :-1, 127]], axis=1)
+        carry_e = _env_rows(seq_e, release128)
+        envl = jnp.maximum(run_e, carry_e[:, :, None] * r_lane)
+        env_carry[:] = jnp.broadcast_to(
+            envl[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+        if agc_enabled:
+            gain = jnp.minimum(
+                np.float32(agc_target) / jnp.maximum(envl, np.float32(1e-12)),
+                np.float32(agc_max_gain))
+            audio_g = audio * gain
+        else:
+            audio_g = audio
+
+        # ---- PBT audio filter (one matmul, [L|R]) ----
+        prev_a = jnp.concatenate(
+            [audio_tail[:][:, None, :], audio_g[:, :-1, :]], axis=1)
+        frames2 = jnp.concatenate([prev_a, audio_g], axis=-1)
+        lr = jax.lax.dot_general(
+            frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(cb, chunk_nb, 256)
+        audio_tail[:] = audio_g[:, chunk_nb - 1, :]
+
+        buf_l[slot] = lr[..., :128] * out_gain
+        dl = pltpu.make_async_copy(
+            buf_l.at[slot],
+            l_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+            sem_l.at[slot])
+        dl.start()
+        if emit_r:
+            buf_ro[slot] = lr[..., 128:] * out_gain
+            dr = pltpu.make_async_copy(
+                buf_ro.at[slot],
+                r_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                sem_ro.at[slot])
+            dr.start()
+            dr.wait()
+        dl.wait()
+
+    def body(u, _):
+        process(2 * u, 0)
+        process(2 * u + 1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks // 2, body, 0)
+    atail_out_ref[:] = audio_tail[:]
+    env_out_ref[:] = env_carry[:]
+    dcx_out_ref[:] = dcx[:]
+    dcy_out_ref[:] = dcy[:]
+
+
+def sweep_am_chain(
+    xr: jax.Array,
+    xi: jax.Array,
+    inc: jax.Array,
+    phase0: jax.Array,
+    w_sb: jax.Array,
+    w_pbt: jax.Array,
+    tail_r: jax.Array,
+    tail_i: jax.Array,
+    audio_tail: jax.Array,
+    env0: jax.Array,
+    dc0: jax.Array,
+    agc_release: float,
+    agc_target: float,
+    agc_max_gain: float,
+    agc_enabled: bool = True,
+    out_gain: float = 1.0,
+    dc_pole: float = 0.995,
+    block_c: int = 8,
+    chunk_t: int = 4096,
+    emit_r: bool = True,
+    interpret: bool = False,
+):
+    """Whole AM receive chain in one single-sweep Pallas kernel.
+
+    Same streaming structure as sweep_full_chain but with the AM demod
+    (envelope + DC blocker) between the band-pass and the AGC. Args as
+    sweep_full_chain, plus:
+
+      w_sb:  (512, 256) fir_design.overlap_save_matrix_real (full complex
+             band-pass — AM needs both planes for the envelope)
+      dc0:   (C, 2) DC-blocker carry [last envelope input, last output]
+             (ops/iir.dc_blocker y0 semantics; zeros at stream start)
+
+    Returns (audio_l, audio_r, audio_tail_next, env_next, dc_next) with
+    dc_next (C, 2); audio_r is None when emit_r=False.
+    """
+    inc = jax.lax.bitcast_convert_type(jnp.asarray(inc, jnp.uint32), jnp.int32)
+    phase0 = jax.lax.bitcast_convert_type(jnp.asarray(phase0, jnp.uint32), jnp.int32)
+    c, n = xr.shape
+    chunk_t = _even_chunks(n, chunk_t)
+    chunk_nb = chunk_t // 128
+    n_chunks = n // chunk_t
+    x3r = xr.reshape(c, n // 128, 128)
+    x3i = xi.reshape(c, n // 128, 128)
+    kernel = functools.partial(
+        _am_chain_kernel, chunk_nb=chunk_nb, n_chunks=n_chunks,
+        out_gain=out_gain, agc_release=float(agc_release),
+        agc_target=agc_target, agc_max_gain=agc_max_gain,
+        agc_enabled=agc_enabled, emit_r=emit_r, dc_pole=float(dc_pole))
+
+    def vspec(shape):
+        return pl.BlockSpec(shape, lambda ci: (ci,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    buf = pltpu.VMEM((2, block_c, chunk_nb, 128), jnp.float32)
+    sem = pltpu.SemaphoreType.DMA((2,))
+    dc0 = jnp.asarray(dc0, jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(c // block_c,),
+        in_specs=[
+            vspec((block_c, 1)), vspec((block_c, 1)),
+            vspec((block_c, 128)), vspec((block_c, 128)),
+            vspec((block_c, 128)), vspec((block_c, 1)),
+            vspec((block_c, 1)), vspec((block_c, 1)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((512, 256), lambda ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 256), lambda ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vspec((block_c, 128)),
+            vspec((block_c, 128)),
+            vspec((block_c, 128)),
+            vspec((block_c, 128)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, n // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, n // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            buf, buf, buf, buf, sem, sem, sem, sem,
+            pltpu.VMEM((block_c, 128), jnp.float32),
+            pltpu.VMEM((block_c, 128), jnp.float32),
+            pltpu.VMEM((block_c, 128), jnp.float32),
+            pltpu.VMEM((block_c, 128), jnp.float32),
+            pltpu.VMEM((block_c, 128), jnp.float32),
+            pltpu.VMEM((block_c, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(inc[:, None], phase0[:, None], tail_r, tail_i, audio_tail,
+      jnp.asarray(env0, jnp.float32)[:, None],
+      dc0[:, 0:1], dc0[:, 1:2], x3r, x3i, w_sb, w_pbt)
+    audio_l, audio_r, atail, env_out, dcx_out, dcy_out = outs
+    env_next = env_out[:, 0]
+    dc_next = jnp.stack([dcx_out[:, 0], dcy_out[:, 0]], axis=-1)
+    audio_l = audio_l.reshape(c, n)
+    audio_r = audio_r.reshape(c, n) if emit_r else None
+    return audio_l, audio_r, atail, env_next, dc_next

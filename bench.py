@@ -58,8 +58,10 @@ def main() -> None:
     freqs = [7_190_000.0 + 1_000.0 * k for k in range(N_CHANNELS)]
     if "--xla-bank" in sys.argv:
         bank = ReceiverBank(cfg, freqs)
+        path = "xla"
     else:
         bank = FusedSSBBank(cfg, freqs, block_t=8192, backend="sweep")
+        path = "sweep"
     state = jax.device_put(bank.init_state())
 
     rng = np.random.default_rng(0)
@@ -99,11 +101,14 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # "path" tags which engine produced the number so a silent fallback to the
+    # XLA bank can never masquerade as a sweep-kernel result (VERDICT r1 #9)
     print(json.dumps({
         "metric": "full_rx_chain_iq_throughput",
         "value": round(msps, 2),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 1),
+        "path": path,
     }))
 
 

@@ -25,16 +25,40 @@ import numpy as np
 FS = 44117.64706
 
 
+def _make_bank(cfg, freqs):
+    """Fastest applicable backend per config (mirrors what a user would run):
+    sweep-kernel fused banks where they exist, the XLA bank otherwise."""
+    from radiodsp_sdr_rx_tpu.models.config import DemodMode
+    from radiodsp_sdr_rx_tpu.models.fused import (
+        FusedAMBank, FusedNRBank, FusedSAMBank, FusedSSBBank)
+    from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
+
+    ssb = cfg.mode not in (DemodMode.AM, DemodMode.SAM)
+    try:
+        if cfg.noise_blanker:
+            raise ValueError("nb -> XLA bank")
+        if cfg.nr.kind == "off":
+            if cfg.mode == DemodMode.AM:
+                return FusedAMBank(cfg, freqs, block_t=8192), "sweep-am"
+            if cfg.mode == DemodMode.SAM:
+                return FusedSAMBank(cfg, freqs), "pallas-sam"
+            return FusedSSBBank(cfg, freqs, block_t=8192), "sweep"
+        if ssb and len(freqs) <= 128:
+            return FusedNRBank(cfg, freqs, block_t=8192), f"sweep+{cfg.nr.kind}"
+        raise ValueError("no fused path")
+    except ValueError:
+        backend = "batched" if (cfg.nr.kind in ("lms", "notch")
+                                and len(freqs) == 128) else "vmap"
+        return ReceiverBank(cfg, freqs, backend=backend), f"xla-{backend}"
+
+
 def _bench_bank(cfg, n_channels, seg_len, reps=5):
     import jax
     import jax.numpy as jnp
 
-    from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
-
     freqs = [cfg.capture_center_freq + 1_000.0 * k for k in range(n_channels)]
-    # NR (LMS) configs use the bank-level batched chain with the Pallas LMS
-    backend = "batched" if cfg.nr.kind in ("lms", "notch") else "vmap"
-    bank = ReceiverBank(cfg, freqs, backend=backend)
+    bank, path = _make_bank(cfg, freqs)
+    print(f"  path: {path}", file=sys.stderr)
     state = jax.device_put(bank.init_state())
     rng = np.random.default_rng(0)
     xr = jax.device_put(rng.standard_normal((n_channels, seg_len))
@@ -51,7 +75,7 @@ def _bench_bank(cfg, n_channels, seg_len, reps=5):
         out, state = bank.process_planar(xr, xi, state)
     float(force(out))
     dt = time.perf_counter() - t0
-    return n_channels * seg_len * reps / dt / 1e6
+    return n_channels * seg_len * reps / dt / 1e6, path
 
 
 def main() -> int:
@@ -89,11 +113,12 @@ def main() -> int:
     results = {}
     for name, cfg in scenarios.items():
         try:
-            msps = _bench_bank(cfg, channels[name],
-                               seg_override.get(name, seg),
-                               reps=2 if quick else 5)
-            results[name] = round(msps, 1)
-            print(f"{name}: {msps:.0f} Msamples/s/chip", file=sys.stderr)
+            msps, path = _bench_bank(cfg, channels[name],
+                                     seg_override.get(name, seg),
+                                     reps=2 if quick else 5)
+            results[name] = {"msps": round(msps, 1), "path": path}
+            print(f"{name}: {msps:.0f} Msamples/s/chip ({path})",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             results[name] = f"error: {str(e)[:80]}"
             print(f"{name}: FAILED {e}", file=sys.stderr)

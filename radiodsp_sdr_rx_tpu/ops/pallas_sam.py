@@ -1,0 +1,128 @@
+"""Pallas kernel for the SAM (synchronous AM) carrier-tracking PLL.
+
+The PLL recurrence (ops/planar.demod_sam_planar — phase/freq update from the
+atan2 phase detector) is per-sample sequential, like the LMS. The TPU-native
+formulation is the same as ops/pallas_lms.py: **channels across the 128 VPU
+lanes**, so each sequential step retires 128 channels' worth of work:
+
+    v      = z * conj(exp(j*phase))        # (C,) lanes
+    err    = atan2(Im v, Re v)
+    freq  += ki * err     (clipped)
+    phase += freq + kp * err   (mod 2*pi)
+    out[n] = Re v
+
+State (phase, freq) enters and leaves as kernel operands so long streams
+chain chunk-to-chunk with ``jax.lax.scan`` outside the kernel — no
+cross-grid-step scratch (unsupported on the deployment backend). The loop
+gains vs the scan path come from lane parallelism (128 channels/step) plus
+the absence of XLA's per-step loop-carry shuffling.
+
+Reference: AudioSDR's SAMmode demod (RDSP_controls.h:372-378 call sites);
+loop constants are the spec-level second-order PLL of ops/demod.demod_sam.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_TWO_PI = float(2.0 * np.pi)
+
+
+def _sam_kernel(zr_ref, zi_ref, phase_ref, freq_ref,
+                out_ref, phase_out_ref, freq_out_ref,
+                *, chunk: int, kp: float, ki: float, max_freq: float):
+    """One chunk: zr/zi (chunk, C); phase/freq state (1, C)."""
+
+    def body(n, carry):
+        phase, freq = carry                    # (C,)
+        zr = zr_ref[n, :]
+        zi = zi_ref[n, :]
+        cr = jnp.cos(phase)
+        ci = jnp.sin(phase)
+        vr = zr * cr + zi * ci                 # z * conj(ref)
+        vi = zi * cr - zr * ci
+        err = jnp.arctan2(vi, vr)
+        freq = jnp.clip(freq + np.float32(ki) * err,
+                        -np.float32(max_freq), np.float32(max_freq))
+        phase = jnp.mod(phase + freq + np.float32(kp) * err,
+                        np.float32(_TWO_PI))
+        out_ref[n, :] = vr
+        return (phase, freq)
+
+    phase, freq = jax.lax.fori_loop(
+        0, chunk, body, (phase_ref[0, :], freq_ref[0, :]))
+    phase_out_ref[0, :] = phase
+    freq_out_ref[0, :] = freq
+
+
+def _sam_chunk(zr, zi, phase, freq, *, kp, ki, max_freq, interpret):
+    chunk, c = zr.shape
+    kernel = functools.partial(_sam_kernel, chunk=chunk, kp=kp, ki=ki,
+                               max_freq=max_freq)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((chunk, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(zr, zi, phase, freq)
+
+
+def sam_pll_run_pallas(
+    zr: jax.Array,
+    zi: jax.Array,
+    phase0: jax.Array,
+    freq0: jax.Array,
+    bw_hz: float = 100.0,
+    sample_rate: float = 44117.64706,
+    chunk: int = 4096,
+    interpret: bool = False,
+):
+    """Multi-channel SAM PLL over a stream segment via chunked Pallas calls.
+
+    zr, zi: (C, n) f32 band-passed IQ with C == 128 (pad otherwise);
+    phase0, freq0: (C,) f32 PLL carries. Returns (vr (C, n), phase', freq')
+    — vr is the in-phase product (pre-DC-blocker audio); run
+    ops/iir.dc_blocker on it afterwards for demod_sam_planar parity.
+    """
+    c, n = zr.shape
+    if c != LANES:
+        raise ValueError(f"channel axis must be {LANES} (pad)")
+    chunk = min(chunk, n)
+    if n % chunk:
+        raise ValueError("n must be a multiple of chunk")
+    wn = 2.0 * np.pi * bw_hz / sample_rate
+    zeta = 0.70710678
+    kp = float(2.0 * zeta * wn)
+    ki = float(wn * wn)
+    max_freq = float(2.0 * np.pi * 2000.0 / sample_rate)
+
+    # (C, n) -> chunks of (chunk, C): lanes = channels
+    zrs = jnp.swapaxes(jnp.moveaxis(zr.reshape(c, n // chunk, chunk), 1, 0),
+                       1, 2)
+    zis = jnp.swapaxes(jnp.moveaxis(zi.reshape(c, n // chunk, chunk), 1, 0),
+                       1, 2)
+
+    def step(carry, inputs):
+        phase, freq = carry
+        zrc, zic = inputs
+        vr, p2, f2 = _sam_chunk(zrc, zic, phase, freq, kp=kp, ki=ki,
+                                max_freq=max_freq, interpret=interpret)
+        return (p2, f2), vr
+
+    p0 = jnp.asarray(phase0, jnp.float32)[None, :]
+    f0 = jnp.asarray(freq0, jnp.float32)[None, :]
+    (pf, ff), vrs = jax.lax.scan(step, (p0, f0), (zrs, zis))
+    vr = jnp.moveaxis(jnp.swapaxes(vrs, 1, 2), 0, 1).reshape(c, n)
+    return vr, pf[0], ff[0]

@@ -80,7 +80,11 @@ def band_scene_20m_cw(
         env = np.zeros(n, np.float32)
         pos = 0
         on = True
-        r = np.random.default_rng(abs(hash(name)) % (2**31))
+        # stable across processes (Python's hash() is randomized per run,
+        # which silently made this scene non-deterministic)
+        import zlib
+
+        r = np.random.default_rng(zlib.crc32(name.encode()) % (2**31))
         while pos < n:
             run = int(r.integers(1, 4) * dit * fs)
             if on:

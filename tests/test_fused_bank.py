@@ -82,3 +82,185 @@ def test_sweep_backend_matches_staged_across_segments(rng):
                                    np.asarray(ob["audio_r"]), atol=2e-4)
         np.testing.assert_allclose(np.asarray(st_a.agc_env),
                                    np.asarray(st_b.agc_env), rtol=1e-4)
+
+
+def test_fused_am_matches_reference_bank(rng):
+    from radiodsp_sdr_rx_tpu.models.fused import FusedAMBank
+
+    n = 8192
+    center = 7_050_000.0
+    freqs = [center + 2_000.0 * k for k in range(8)]
+    cfg = ReceiverConfig(mode=DemodMode.AM, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM)
+    fused = FusedAMBank(cfg, freqs, block_t=2048, interpret=True)
+    bank = ReceiverBank(cfg, freqs)
+
+    iq = ((rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n)))
+          .astype(np.complex64) * 0.2)
+    out_f, _ = fused.process(iq, fused.init_state())
+    out_b, _ = bank.process(iq, bank.init_state())
+    np.testing.assert_allclose(np.asarray(out_f["audio_l"]),
+                               np.asarray(out_b["audio_l"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_f["audio_r"]),
+                               np.asarray(out_b["audio_r"]), atol=2e-3)
+
+
+def test_fused_am_streaming_continuity(rng):
+    from radiodsp_sdr_rx_tpu.models.fused import FusedAMBank
+
+    n = 8192
+    center = 7_050_000.0
+    freqs = [center + 2_000.0 * k for k in range(8)]
+    cfg = ReceiverConfig(mode=DemodMode.AM, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.OFF)
+    fused = FusedAMBank(cfg, freqs, block_t=2048, interpret=True)
+    iq = ((rng.standard_normal((8, 2 * n)) + 1j * rng.standard_normal((8, 2 * n)))
+          .astype(np.complex64) * 0.2)
+
+    out_full, _ = fused.process(iq, fused.init_state())
+    st = fused.init_state()
+    out1, st = fused.process(iq[:, :n], st)
+    out2, _ = fused.process(iq[:, n:], st)
+    got = np.concatenate([np.asarray(out1["audio_l"]),
+                          np.asarray(out2["audio_l"])], axis=1)
+    np.testing.assert_allclose(got, np.asarray(out_full["audio_l"]), atol=1e-5)
+
+
+def test_fused_am_rejects_unsupported_configs():
+    from radiodsp_sdr_rx_tpu.models.fused import FusedAMBank
+
+    cfg, freqs = _setup()
+    with pytest.raises(ValueError):
+        FusedAMBank(cfg, freqs)                       # USB is not AM
+    am = cfg.with_(mode=DemodMode.AM)
+    with pytest.raises(ValueError):
+        FusedAMBank(am.with_(nr=NRMode.DNR1), freqs)
+
+
+def _nr_setup(nr, n_ch=8):
+    from radiodsp_sdr_rx_tpu.models.fused import FusedNRBank
+
+    center = 7_050_000.0
+    freqs = [center + 2_000.0 * k for k in range(n_ch)]
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM,
+                         nr=nr)
+    fused = FusedNRBank(cfg, freqs, block_t=2048, lms_chunk=2048,
+                        interpret=True)
+    bank = ReceiverBank(cfg, freqs)
+    return fused, bank
+
+
+def test_fused_nr_denoise_matches_reference_bank(rng):
+    n = 4096
+    fused, bank = _nr_setup(NRMode.DNR2)
+    iq = ((rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n)))
+          .astype(np.complex64) * 0.2)
+    out_f, _ = fused.process(iq, fused.init_state())
+    out_b, _ = bank.process(iq, bank.init_state())
+    np.testing.assert_allclose(np.asarray(out_f["audio_l"]),
+                               np.asarray(out_b["audio_l"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_f["audio_r"]),
+                               np.asarray(out_f["audio_l"]), atol=0)  # R<-L
+
+
+def test_fused_nr_notch_matches_reference_bank(rng):
+    n = 4096
+    fused, bank = _nr_setup(NRMode.NOTCH)
+    iq = ((rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n)))
+          .astype(np.complex64) * 0.2)
+    out_f, _ = fused.process(iq, fused.init_state())
+    out_b, _ = bank.process(iq, bank.init_state())
+    np.testing.assert_allclose(np.asarray(out_f["audio_l"]),
+                               np.asarray(out_b["audio_l"]), atol=2e-3)
+
+
+def test_fused_nr_spectral_matches_reference_bank_streaming(rng):
+    n = 4096
+    fused, bank = _nr_setup(NRMode.SPEC2)
+    st_f, st_b = fused.init_state(), bank.init_state()
+    for seg in range(2):
+        iq = ((rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n)))
+              .astype(np.complex64) * 0.2)
+        out_f, st_f = fused.process(iq, st_f)
+        out_b, st_b = bank.process(iq, st_b)
+        np.testing.assert_allclose(np.asarray(out_f["audio_l"]),
+                                   np.asarray(out_b["audio_l"]), atol=2e-3,
+                                   err_msg=f"seg {seg}")
+        np.testing.assert_allclose(np.asarray(out_f["audio_r"]),
+                                   np.asarray(out_b["audio_r"]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(st_f.nfloor),
+                                   np.asarray(st_b.nfloor), rtol=1e-3,
+                                   atol=1e-6)
+
+
+def test_fused_nr_denoise_streaming_continuity(rng):
+    n = 4096
+    fused, _ = _nr_setup(NRMode.DNR1)
+    iq = ((rng.standard_normal((8, 2 * n)) + 1j * rng.standard_normal((8, 2 * n)))
+          .astype(np.complex64) * 0.2)
+    out_full, _ = fused.process(iq, fused.init_state())
+    st = fused.init_state()
+    out1, st = fused.process(iq[:, :n], st)
+    out2, _ = fused.process(iq[:, n:], st)
+    got = np.concatenate([np.asarray(out1["audio_l"]),
+                          np.asarray(out2["audio_l"])], axis=1)
+    np.testing.assert_allclose(got, np.asarray(out_full["audio_l"]),
+                               atol=2e-3)
+
+
+def test_fused_nr_rejects_unsupported_configs():
+    from radiodsp_sdr_rx_tpu.models.fused import FusedNRBank
+
+    cfg, freqs = _setup()
+    with pytest.raises(ValueError):
+        FusedNRBank(cfg, freqs)                      # nr=off
+    with pytest.raises(ValueError):
+        FusedNRBank(cfg.with_(mode=DemodMode.AM, nr=NRMode.DNR1), freqs)
+
+
+def test_fused_sam_matches_reference_bank(rng):
+    from radiodsp_sdr_rx_tpu.models.fused import FusedSAMBank
+
+    n = 4096
+    center = 7_050_000.0
+    freqs = [center + 2_000.0 * k for k in range(8)]
+    cfg = ReceiverConfig(mode=DemodMode.SAM, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM)
+    fused = FusedSAMBank(cfg, freqs, block_t=2048, sam_chunk=1024,
+                         interpret=True)
+    bank = ReceiverBank(cfg, freqs)
+
+    t = np.arange(n) / FS
+    base = ((1.0 + 0.4 * np.sin(2 * np.pi * 500 * t))
+            * np.exp(2j * np.pi * 1000.0 * t))
+    iq = (np.stack([base] * 8).astype(np.complex64)
+          + (rng.standard_normal((8, n))
+             + 1j * rng.standard_normal((8, n))).astype(np.complex64) * 0.02)
+    out_f, st_f = fused.process(iq, fused.init_state())
+    out_b, st_b = bank.process(iq, bank.init_state())
+    np.testing.assert_allclose(np.asarray(out_f["audio_l"]),
+                               np.asarray(out_b["audio_l"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st_f.sam_phase[:8]),
+                               np.asarray(st_b.sam.phase), atol=2e-3)
+
+
+def test_fused_sam_streaming_continuity(rng):
+    from radiodsp_sdr_rx_tpu.models.fused import FusedSAMBank
+
+    n = 4096
+    center = 7_050_000.0
+    freqs = [center + 2_000.0 * k for k in range(8)]
+    cfg = ReceiverConfig(mode=DemodMode.SAM, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.OFF)
+    fused = FusedSAMBank(cfg, freqs, block_t=2048, sam_chunk=1024,
+                         interpret=True)
+    iq = ((rng.standard_normal((8, 2 * n)) + 1j * rng.standard_normal((8, 2 * n)))
+          .astype(np.complex64) * 0.2)
+    out_full, _ = fused.process(iq, fused.init_state())
+    st = fused.init_state()
+    out1, st = fused.process(iq[:, :n], st)
+    out2, _ = fused.process(iq[:, n:], st)
+    got = np.concatenate([np.asarray(out1["audio_l"]),
+                          np.asarray(out2["audio_l"])], axis=1)
+    np.testing.assert_allclose(got, np.asarray(out_full["audio_l"]), atol=1e-4)

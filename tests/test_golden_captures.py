@@ -1,0 +1,72 @@
+"""Golden-capture regression (BASELINE.json correctness row, VERDICT r1 #4).
+
+The committed fixtures in tests/goldens/ are demod outputs + quality metrics
+for the deterministic synthetic "recorded" captures (utils/scenes.py: 40 m SSB
+evening scene, 20 m CW pile-up, QRM-corrupted USB) produced by
+tools/make_goldens.py on the hermetic CPU backend. Each test re-runs the chain
+and asserts:
+
+  1. regression — the audio matches the committed golden snippet closely
+     (guards every stage of the chain against silent numeric drift), and
+  2. quality floor — the alignment-invariant metric (SNR after gain/lag/
+     phase/short-equalizer fit; keying-envelope correlation for CW) is within
+     a small margin of the committed value.
+
+This is the offline stand-in for the reference's on-air listening validation
+(SURVEY.md §4; reference README.md:4-22 videos).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from make_goldens import aligned_snr_db, build_cases, envelope_corr  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "goldens")
+FS = 44117.64706
+
+
+def _run_case(name):
+    from radiodsp_sdr_rx_tpu.models.receiver import Receiver
+
+    for case_name, cfg, iq, metrics_fn in build_cases():
+        if case_name == name:
+            rx = Receiver(cfg)
+            out, _ = rx.process(iq, rx.init_state())
+            audio = np.asarray(out["audio_l"])
+            golden = np.load(os.path.join(GOLDEN_DIR, f"{name}.npz"))
+            return audio, metrics_fn(audio), golden
+    raise KeyError(name)
+
+
+def _assert_regression(audio, golden):
+    want = golden["audio_l"]
+    scale = max(float(np.abs(want).max()), 1e-6)
+    np.testing.assert_allclose(audio[: len(want)], want,
+                               atol=1e-4 * scale, rtol=0)
+
+
+def test_golden_ssb40m():
+    audio, metrics, golden = _run_case("ssb40m_s2")
+    _assert_regression(audio, golden)
+    assert metrics["snr_db"] >= float(golden["snr_db"]) - 1.0, metrics
+    assert metrics["snr_db"] >= 25.0, metrics  # absolute demod-quality floor
+
+
+def test_golden_cw20m():
+    audio, metrics, golden = _run_case("cw20m_c1")
+    _assert_regression(audio, golden)
+    assert metrics["env_corr"] >= float(golden["env_corr"]) - 0.03, metrics
+    assert metrics["env_corr"] >= 0.8, metrics
+
+
+def test_golden_qrm_spec2():
+    audio, metrics, golden = _run_case("qrm_usb_spec2")
+    _assert_regression(audio, golden)
+    # drift detector only — see tools/make_goldens.py note on this scene
+    assert abs(metrics["snr_db"] - float(golden["snr_db"])) <= 3.0, metrics

@@ -130,3 +130,115 @@ def test_full_chain_agc_disabled(rng):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(env), np.asarray(env_want),
                                rtol=1e-4)
+
+
+def test_am_chain_matches_staged_streaming(rng):
+    """sweep_am_chain == planar NCO -> band-pass -> AM envelope+DC -> AGC ->
+    PBT staged chain, with state threaded across two segments."""
+    import jax
+
+    from radiodsp_sdr_rx_tpu.ops import planar
+    from radiodsp_sdr_rx_tpu.ops.pallas_sweep import sweep_am_chain
+
+    c, n = 8, 2 * 4096
+    mask = fir_design.design_filter_mask(100.0, 3900.0, FS)
+    w_sb = jnp.asarray(fir_design.overlap_save_matrix_real(mask))
+    w_pbt = jnp.asarray(pallas_kernels.pbt_operator(mask))
+    params = agc_ops.AGC_PRESETS["fast"]
+    incs = np.asarray([nco.freq_to_phase_inc(700.0 * k, FS) for k in range(c)],
+                      np.uint32)
+    out_gain = 1.1
+
+    # staged planar reference state
+    phase = np.zeros(c, np.uint32)
+    tail_r = jnp.zeros((c, 128), jnp.float32)
+    tail_i = jnp.zeros((c, 128), jnp.float32)
+    atail = jnp.zeros((c, 128), jnp.float32)
+    env = jnp.full((c,), 1e-6, jnp.float32)
+    dc = jnp.zeros((c, 2), jnp.float32)
+    # sweep path state (raw-input tails, mixed in-kernel)
+    s_tail_r = jnp.zeros((c, 128), jnp.float32)
+    s_tail_i = jnp.zeros((c, 128), jnp.float32)
+    s_atail = jnp.zeros((c, 128), jnp.float32)
+    s_env = jnp.full((c,), 1e-6, jnp.float32)
+    s_dc = jnp.zeros((c, 2), jnp.float32)
+
+    for seg in range(2):
+        iq = ((rng.standard_normal((c, n)) + 1j * rng.standard_normal((c, n)))
+              .astype(np.complex64) * 0.2)
+        xr, xi = jnp.asarray(iq.real), jnp.asarray(iq.imag)
+
+        zr, zi, _ = jax.vmap(planar.nco_mix_planar)(xr, xi, phase, incs)
+        zr, zi, tail_r, tail_i = planar.overlap_save_filter_planar(
+            zr, zi, w_sb, tail_r, tail_i)
+        audio, dc = planar.demod_am_planar(zr, zi, dc)
+        audio_g, env = agc_ops.agc_run(audio, params, env)
+        want_l, want_r, atail = planar.pbt_filter_planar(audio_g, w_pbt, atail)
+        want_l, want_r = want_l * out_gain, want_r * out_gain
+
+        got_l, got_r, s_atail, s_env, s_dc = sweep_am_chain(
+            xr, xi, incs, phase, w_sb, w_pbt, s_tail_r, s_tail_i, s_atail,
+            s_env, s_dc, params.release, params.target, params.max_gain,
+            agc_enabled=True, out_gain=out_gain, chunk_t=2048, interpret=True)
+        s_tail_r, s_tail_i = xr[:, -128:], xi[:, -128:]
+        phase = (phase + np.uint32(n) * incs).astype(np.uint32)
+
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                                   atol=2e-4, err_msg=f"L seg {seg}")
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                                   atol=2e-4, err_msg=f"R seg {seg}")
+        np.testing.assert_allclose(np.asarray(s_env), np.asarray(env),
+                                   rtol=1e-3, atol=1e-6,
+                                   err_msg=f"env seg {seg}")
+        np.testing.assert_allclose(np.asarray(s_dc), np.asarray(dc),
+                                   atol=2e-4, err_msg=f"dc seg {seg}")
+
+
+def test_am_chain_emit_r_false(rng):
+    """emit_r=False returns None for R and allocates no full R plane."""
+    from radiodsp_sdr_rx_tpu.ops.pallas_sweep import sweep_am_chain
+
+    c, n = 8, 4096
+    mask = fir_design.design_filter_mask(100.0, 3900.0, FS)
+    w_sb = jnp.asarray(fir_design.overlap_save_matrix_real(mask))
+    w_pbt = jnp.asarray(pallas_kernels.pbt_operator(mask))
+    iq = ((rng.standard_normal((c, n)) + 1j * rng.standard_normal((c, n)))
+          .astype(np.complex64) * 0.2)
+    xr, xi = jnp.asarray(iq.real), jnp.asarray(iq.imag)
+    incs = np.full(c, nco.freq_to_phase_inc(2000.0, FS), np.uint32)
+    z128 = jnp.zeros((c, 128), jnp.float32)
+    params = agc_ops.AGC_PRESETS["fast"]
+
+    both = sweep_am_chain(
+        xr, xi, incs, np.zeros(c, np.uint32), w_sb, w_pbt, z128, z128, z128,
+        jnp.full((c,), 1e-6), jnp.zeros((c, 2)), params.release,
+        params.target, params.max_gain, chunk_t=2048, interpret=True)
+    mono = sweep_am_chain(
+        xr, xi, incs, np.zeros(c, np.uint32), w_sb, w_pbt, z128, z128, z128,
+        jnp.full((c,), 1e-6), jnp.zeros((c, 2)), params.release,
+        params.target, params.max_gain, chunk_t=2048, emit_r=False,
+        interpret=True)
+    assert mono[1] is None
+    np.testing.assert_allclose(np.asarray(mono[0]), np.asarray(both[0]),
+                               atol=1e-6)
+
+
+def test_chain_rejects_bad_poles(rng):
+    from radiodsp_sdr_rx_tpu.ops.pallas_sweep import sweep_am_chain
+    import pytest
+
+    c, n = 8, 4096
+    mask = fir_design.design_filter_mask(100.0, 3900.0, FS)
+    w_sb = jnp.asarray(fir_design.overlap_save_matrix_real(mask))
+    w_pbt = jnp.asarray(pallas_kernels.pbt_operator(mask))
+    z = jnp.zeros((c, n), jnp.float32)
+    z128 = jnp.zeros((c, 128), jnp.float32)
+    incs = np.zeros(c, np.uint32)
+    with pytest.raises(ValueError):
+        sweep_am_chain(z, z, incs, incs, w_sb, w_pbt, z128, z128, z128,
+                       jnp.zeros(c), jnp.zeros((c, 2)), 0.999, 0.5, 316.0,
+                       dc_pole=0.0, interpret=True)
+    with pytest.raises(ValueError):
+        sweep_am_chain(z, z, incs, incs, w_sb, w_pbt, z128, z128, z128,
+                       jnp.zeros(c), jnp.zeros((c, 2)), 1.5, 0.5, 316.0,
+                       interpret=True)

@@ -184,3 +184,126 @@ def test_sharded_panadapter_matches_global_average():
         jnp.asarray(iq), naverage=240,
         tail=jnp.zeros(128, jnp.complex64)))
     np.testing.assert_allclose(rows[0], want[0], rtol=1e-3, atol=0.5)
+
+
+def _unsharded_full_chain(mode, nr, iq, incs, params, state_c, lms_mu):
+    """Per-channel reference chain matching make_full_sharded_chain stages."""
+    from radiodsp_sdr_rx_tpu.ops import demod as demod_ops
+    from radiodsp_sdr_rx_tpu.ops import lms as lms_ops
+    from radiodsp_sdr_rx_tpu.ops import nco as nco_ops
+    from radiodsp_sdr_rx_tpu.ops import planar
+
+    def one(iq1, inc1, sb_tail, atail, env0, phase0, dc0, sam_p, sam_f, lms_st):
+        z, _ = nco_ops.nco_mix(iq1, phase0, inc1)
+        z, _ = fastconv.overlap_save_filter(z, params.w_sideband, sb_tail)
+        if mode == "usb":
+            audio = demod_ops.demod_ssb(z)
+        elif mode == "am":
+            env = jnp.abs(z)
+            from radiodsp_sdr_rx_tpu.ops.iir import dc_blocker
+            audio, _ = dc_blocker(env, dc0)
+        else:  # sam
+            st = __import__("radiodsp_sdr_rx_tpu.ops.planar", fromlist=["x"])
+            s0 = planar.SAMStatePlanar(phase=sam_p, freq=sam_f, dc=dc0)
+            audio, _ = planar.demod_sam_planar(z.real, z.imag, s0,
+                                               sample_rate=FS)
+        if nr == "notch":
+            audio, lms_st2 = lms_ops.lms_nr_run(audio, lms_st, lms_mu,
+                                                mode="notch")
+        env, _ = agc_ops.agc_envelope(jnp.abs(audio), env0,
+                                      params.agc_release)
+        gain = jnp.minimum(params.agc_target / jnp.maximum(env, 1e-12),
+                           params.agc_max_gain)
+        audio = audio * gain
+        za = jax.lax.complex(audio, audio)
+        za, _ = fastconv.overlap_save_filter(za, params.w_audio, atail)
+        audio = za.real * params.output_gain
+        if nr == "lms":
+            audio, _ = lms_ops.lms_nr_run(audio, lms_st, lms_mu,
+                                          mode="denoise")
+            audio = audio * 1.1
+        return audio
+
+    st = state_c
+    return jax.vmap(one)(
+        iq, jnp.asarray(incs), st.sb_tail, st.audio_tail, st.agc_env,
+        st.nco_phase, st.am_dc, st.sam_phase, st.sam_freq, st.lms)
+
+
+def _full_chain_case(mode, nr, rng_seed=7):
+    """Shared harness: 4 channels x (4 time shards x 4096), 2x4 mesh."""
+    from radiodsp_sdr_rx_tpu.parallel.stream_shard import (
+        make_full_sharded_chain, sharded_chain_init)
+
+    np_rng = np.random.default_rng(rng_seed)
+    n_chan, tdim, n_loc = 8, 4, 4096
+    n = tdim * n_loc
+    mesh = make_mesh(channel=2, time=4)
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, agc=AGCMode.FAST,
+                         iq_gain_balance=1.0)
+    params = build_params(cfg)
+    incs = np.asarray(
+        [np.uint32(k * 977 + 12345) * np.uint32(65536) for k in range(n_chan)],
+        np.uint32)
+    iq = jnp.asarray(
+        (np_rng.standard_normal((n_chan, n))
+         + 1j * np_rng.standard_normal((n_chan, n))).astype(np.complex64) * 0.2)
+
+    lms_mu = 0.0316
+    chain = make_full_sharded_chain(mesh, mode=mode, nr=nr, sample_rate=FS,
+                                    lms_mu=lms_mu)
+    state0 = sharded_chain_init(n_chan)
+    audio, state1 = chain(iq, incs, state0, params.w_sideband, params.w_audio,
+                          params.agc_release, params.agc_target,
+                          params.agc_max_gain, params.agc_enabled,
+                          params.output_gain)
+    want = _unsharded_full_chain(mode, nr, iq, incs, params, state0, lms_mu)
+    np.testing.assert_allclose(np.asarray(audio), np.asarray(want), atol=2e-3)
+    return chain, state1, iq, incs, params, mode, nr, lms_mu
+
+
+def test_full_sharded_chain_usb_dnr_equals_single():
+    """VERDICT r1 #5: 2-D mesh chain with the adaptive LMS denoiser =="""
+    _full_chain_case("usb", "lms")
+
+
+def test_full_sharded_chain_sam_equals_single():
+    _full_chain_case("sam", "off")
+
+
+def test_full_sharded_chain_usb_notch_equals_single():
+    _full_chain_case("usb", "notch")
+
+
+def test_full_sharded_chain_midstream_resume():
+    """Mid-stream state entry: two sharded segments == one double-length
+    sharded run (state threads exactly through the seam)."""
+    from radiodsp_sdr_rx_tpu.parallel.stream_shard import (
+        make_full_sharded_chain, sharded_chain_init)
+
+    np_rng = np.random.default_rng(11)
+    n_chan, n = 8, 4 * 4096
+    mesh = make_mesh(channel=2, time=4)
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, agc=AGCMode.FAST,
+                         iq_gain_balance=1.0)
+    params = build_params(cfg)
+    incs = np.asarray([np.uint32(k * 977 + 11111) * np.uint32(65536)
+                       for k in range(n_chan)], np.uint32)
+    iq = jnp.asarray(
+        (np_rng.standard_normal((n_chan, 2 * n))
+         + 1j * np_rng.standard_normal((n_chan, 2 * n)))
+        .astype(np.complex64) * 0.2)
+
+    chain = make_full_sharded_chain(mesh, mode="usb", nr="lms", sample_rate=FS)
+    args = (params.w_sideband, params.w_audio, params.agc_release,
+            params.agc_target, params.agc_max_gain, params.agc_enabled,
+            params.output_gain)
+
+    full, _ = chain(iq, incs, sharded_chain_init(n_chan), *args)
+    st = sharded_chain_init(n_chan)
+    a1, st = chain(iq[:, :n], incs, st, *args)
+    a2, _ = chain(iq[:, n:], incs, st, *args)
+    got = np.concatenate([np.asarray(a1), np.asarray(a2)], axis=1)
+    np.testing.assert_allclose(got, np.asarray(full), atol=2e-3)

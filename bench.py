@@ -9,8 +9,8 @@ demod (MXU collapsed overlap-save operator) -> AGC -> PBT audio filter ->
 output gain — on a 128-channel receiver bank, single chip. Production path:
 FusedSSBBank backend="sweep" (ops/pallas_sweep.sweep_full_chain), the whole
 chain in ONE single-sweep Pallas kernel (2-slot VMEM DMA ring over time,
-in-kernel log-domain cummax AGC; 8 B read + 8 B write per sample). Falls back
-to the XLA planar ReceiverBank if the kernel path fails.
+in-kernel LINEAR-domain decaying-max AGC scan; 8 B read + 8 B write per
+sample). Falls back to the XLA planar ReceiverBank if the kernel path fails.
 
 vs_baseline: the reference is a hard-real-time appliance processing exactly
 44117.647 IQ samples/s on its Teensy 4.0 (SURVEY.md §6, BASELINE.md) — the

@@ -79,7 +79,9 @@ def cmd_demod(args) -> int:
     iq = iq[:n]
     rx, cfg = _build_receiver(args)
     t0 = time.perf_counter()
-    out, _ = rx.process(jnp.asarray(iq), rx.init_state())
+    # keep the complex array on HOST: Receiver.process splits numpy IQ into
+    # planar f32 host-side (complex64 never executes on the TPU runtime)
+    out, _ = rx.process(np.asarray(iq), rx.init_state())
     audio = np.stack([np.asarray(out["audio_l"]), np.asarray(out["audio_r"])], 1)
     dt = time.perf_counter() - t0
     io_utils.write_wav(args.out, audio, fs)
@@ -138,7 +140,7 @@ def cmd_stream(args) -> int:
         # consumer side: drain in model blocks
         while ring.available >= block:
             seg = ring.pop_complex(block)
-            out, state = rx.process(jnp.asarray(seg), state)
+            out, state = rx.process(np.asarray(seg), state)  # host-side split
             outs.append(np.asarray(out["audio_l"]))
     audio = np.concatenate(outs) if outs else np.zeros(0, np.float32)
     dt = time.perf_counter() - t0

@@ -154,11 +154,29 @@ class ReceiverConfig:
     fft_length: int = 256                # overlap-save FFT length
     noise_blanker: bool = False          # disabled in the app (ino:131)
     nb_threshold_db: float = 10.0
+    # --- UNPINNED constants (the reference drives these through the closed-
+    # source AudioSDR library, so the true values are unverifiable offline;
+    # call sites: SDR.setAGCmode at RDSP_controls.h:196-232, NB at ino:129-131).
+    # Defaults follow common SDR practice; override per deployment if a
+    # measured AudioSDR value differs.
+    agc_release_s: float | None = None   # None -> preset (fast .25/med .6/slow 2 s)
+    agc_target: float = 0.5              # AGC output target level
+    agc_max_gain: float = 316.0          # ~50 dB gain ceiling
+    nb_tau_samples: float = 512.0        # NB magnitude-average time constant
     input_gain: float = 1.0              # SDR.setInputGain (ino:133)
     output_gain: float = 0.5             # SDR.setOutputGain (ino:134)
     iq_gain_balance: float = 1.020       # SDR.setIQgainBalance (ino:135)
     quantize_output: bool = False        # q15 round-trip at the audio boundary
     mute: bool = False                   # SDR.setMute (ino:177: unmuted after boot)
+    # backup-sketch graph ordering: conv filter BEFORE the demod engine
+    # (src/backup/RadioDSP_SDR_RX_Conv.ino:183-191); the audio band-pass runs
+    # as a complex BPF on post-mix IQ and the post-demod PBT stage is skipped
+    conv_first: bool = False
+    # MXU matmul precision for the collapsed overlap-save / DFT operators:
+    # "highest" (full f32, default — matches the reference's f32 CMSIS math),
+    # "high" (3-pass bf16), "bf16" (1-pass bf16 — fastest; measured SNR delta
+    # in docs/PERFORMANCE.md). Quality/throughput knob, opt-in.
+    matmul_precision: str = "highest"
 
     def __post_init__(self):
         if not (BOTTOM_FREQ <= self.vfo_freq <= TOP_FREQ):
@@ -169,6 +187,12 @@ class ReceiverConfig:
             raise ValueError(f"pbt_lo {self.pbt_lo} outside [{MIN_LOW}, {MAX_LOW}]")
         if not (MIN_HI <= self.pbt_hi <= MAX_HI):
             raise ValueError(f"pbt_hi {self.pbt_hi} outside [{MIN_HI}, {MAX_HI}]")
+        if self.matmul_precision not in ("highest", "high", "bf16"):
+            raise ValueError(
+                f"matmul_precision {self.matmul_precision!r} not in "
+                "('highest', 'high', 'bf16')")
+        if self.agc_release_s is not None and self.agc_release_s <= 0:
+            raise ValueError("agc_release_s must be positive")
 
     @property
     def effective_audio_filter(self) -> AudioFilter:

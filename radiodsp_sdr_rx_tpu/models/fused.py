@@ -191,7 +191,7 @@ class FusedNRBank:
 
     def __init__(self, config: ReceiverConfig, freqs_hz,
                  block_c: int = 8, block_t: int = 4096,
-                 lms_chunk: int = 2048,
+                 lms_chunk: int = 4096,
                  interpret: bool = False):
         from radiodsp_sdr_rx_tpu.ops import lms as lms_ops
         from radiodsp_sdr_rx_tpu.ops.pallas_lms import LANES
@@ -225,6 +225,8 @@ class FusedNRBank:
         balance = np.float32(config.iq_gain_balance)
         kind = config.nr.kind
         c = self.n_channels
+        from radiodsp_sdr_rx_tpu.models.receiver import _PRECISIONS
+        prec = _PRECISIONS[config.matmul_precision]
 
         def run_lms(audio, state: FusedNRBankState, lms_mode: str):
             from radiodsp_sdr_rx_tpu.ops.pallas_lms import lms_nr_run_pallas
@@ -282,7 +284,7 @@ class FusedNRBank:
             elif kind == "spectral":
                 l, r, nfloor, spec_l, spec_r = spectral_subtract_planar(
                     l, r, p.nr_level, nfloor, dft_cos, dft_sin,
-                    spec_l, spec_r)
+                    spec_l, spec_r, precision=prec)
 
             new_state = FusedNRBankState(
                 nco_phase=state.nco_phase

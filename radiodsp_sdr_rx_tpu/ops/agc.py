@@ -35,9 +35,10 @@ class AGCParams(NamedTuple):
     enabled: bool = True
 
 
-def _preset(release_time_s: float, sample_rate: float, target=0.5, max_gain=316.0):
-    # release such that envelope decays by 1/e over release_time_s
-    # (host math — configuration must never touch the device)
+def preset_from_release_time(release_time_s: float, sample_rate: float,
+                             target=0.5, max_gain=316.0) -> AGCParams:
+    """release such that envelope decays by 1/e over release_time_s
+    (host math — configuration must never touch the device)."""
     import math
 
     return AGCParams(
@@ -47,17 +48,25 @@ def _preset(release_time_s: float, sample_rate: float, target=0.5, max_gain=316.
     )
 
 
-def agc_presets(sample_rate: float) -> dict[str, AGCParams]:
+_preset = preset_from_release_time  # backward-compat alias
+
+
+def agc_presets(sample_rate: float, target: float = 0.5,
+                max_gain: float = 316.0) -> dict[str, AGCParams]:
     """off/fast/medium/slow presets (menu cycle at RDSP_controls.h:196-232).
 
-    Release time constants follow common SDR practice (fast 0.25 s, medium
-    0.6 s, slow 2 s); attack is instantaneous by construction.
+    The release time constants (fast 0.25 s, medium 0.6 s, slow 2 s), target
+    and max_gain are UNPINNED: the reference delegates AGC to the closed-source
+    AudioSDR library, so these follow common SDR practice. They are exposed on
+    ``ReceiverConfig`` (agc_release_s / agc_target / agc_max_gain) so a
+    deployment can pin measured values; attack is instantaneous by
+    construction.
     """
     return {
         "off": AGCParams(release=1.0, target=1.0, max_gain=1.0, enabled=False),
-        "fast": _preset(0.25, sample_rate),
-        "medium": _preset(0.6, sample_rate),
-        "slow": _preset(2.0, sample_rate),
+        "fast": preset_from_release_time(0.25, sample_rate, target, max_gain),
+        "medium": preset_from_release_time(0.6, sample_rate, target, max_gain),
+        "slow": preset_from_release_time(2.0, sample_rate, target, max_gain),
     }
 
 

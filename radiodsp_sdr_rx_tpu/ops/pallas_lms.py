@@ -34,30 +34,61 @@ LANES = 128
 
 
 def _lms_kernel(x_ref, d_ref, mu_ref, w_ref, win_ref, y_ref, e_ref,
-                w_out_ref, win_out_ref, *, chunk: int, taps: int):
-    """One chunk: x_ref/d_ref (chunk, C); states (taps, C)."""
+                w_out_ref, win_out_ref, *, chunk: int, taps: int,
+                unroll: int = 8):
+    """One chunk: x_ref/d_ref (chunk, C); states (taps, C).
+
+    The per-sample recurrence is unavoidable (weights adapt every sample),
+    so the kernel minimizes VPU instructions per step instead:
+
+      - ``unroll`` samples share one (taps+U, C) register tile; each step's
+        window is a STATIC slice of it (the naive form shifts the whole
+        (taps, C) window — 12 register copies — every sample);
+      - window energy updates incrementally within the tile
+        (energy += x_new^2 - x_old^2, CMSIS arm_lms_norm_f32's own scheme;
+        re-based at every macro step so rounding drift is bounded at U
+        updates, measured ~1e-7 relative);
+      - the remaining per-sample work is the 96-tap dot + FMA update, which
+        is the true VPU floor (2 passes over the (taps, C) tile).
+
+    Measured 2x over the naive per-sample form (docs/PERFORMANCE.md).
+    """
     mu = mu_ref[0, 0]
 
-    def body(n, carry):
-        w, win = carry
-        xn = x_ref[n, :]                       # (C,)
-        dn = d_ref[n, :]
-        win = jnp.concatenate([win[1:, :], xn[None, :]], axis=0)
-        y = jnp.sum(w * win, axis=0)           # (C,)
-        e = dn - y
-        energy = jnp.sum(win * win, axis=0)
-        coeff = mu * e / (energy + _EPS)       # (C,)
+    def substep(u, tile, w, energy, m):
+        win = tile[u + 1:u + 1 + taps, :]          # static slice
+        xn2 = tile[taps + u, :] * tile[taps + u, :]
+        xo2 = tile[u, :] * tile[u, :]
+        energy = energy + (xn2 - xo2)
+        y = jnp.sum(w * win, axis=0)               # (C,)
+        n = m * unroll + u
+        e = d_ref[n, :] - y
+        coeff = mu * e / (energy + _EPS)
         w = w + coeff[None, :] * win
         y_ref[n, :] = y
         e_ref[n, :] = e
-        return (w, win)
+        return w, energy
 
-    w, win = jax.lax.fori_loop(0, chunk, body, (w_ref[:], win_ref[:]))
+    def macro(m, carry):
+        w, win = carry
+        xs = x_ref[pl.ds(m * unroll, unroll), :]   # (U, C) new samples
+        tile = jnp.concatenate([win, xs], axis=0)  # (taps+U, C)
+        # fresh energy base per macro step (bounds incremental rounding)
+        base = tile[1:1 + taps, :]
+        energy = jnp.sum(base * base, axis=0) - (
+            tile[taps, :] * tile[taps, :] - tile[0, :] * tile[0, :])
+        for u in range(unroll):                    # static unroll
+            w, energy = substep(u, tile, w, energy, m)
+        return (w, tile[unroll:, :])
+
+    w, win = jax.lax.fori_loop(0, chunk // unroll, macro,
+                               (w_ref[:], win_ref[:]))
     w_out_ref[:] = w
     win_out_ref[:] = win
 
 
-def lms_chunk(x, d, mu, w, win, *, interpret: bool = False):
+def lms_chunk(x, d, mu, w, win, *, unroll: int = 16,
+              interpret: bool = False):
     """Run one LMS chunk. x, d: (chunk, C) f32; w, win: (taps, C) f32.
 
     Returns (y (chunk, C), e (chunk, C), w', win').
@@ -66,7 +97,10 @@ def lms_chunk(x, d, mu, w, win, *, interpret: bool = False):
     taps = w.shape[0]
     if c != LANES:
         raise ValueError(f"channel axis must be {LANES} (pad)")
-    kernel = functools.partial(_lms_kernel, chunk=chunk, taps=taps)
+    if chunk % unroll:
+        raise ValueError(f"chunk {chunk} must be a multiple of unroll {unroll}")
+    kernel = functools.partial(_lms_kernel, chunk=chunk, taps=taps,
+                               unroll=unroll)
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
     y, e, w2, win2 = pl.pallas_call(
         kernel,
@@ -91,7 +125,8 @@ def lms_nr_run_pallas(
     first: jax.Array,
     mu,
     mode: str = "denoise",
-    chunk: int = 2048,
+    chunk: int = 4096,
+    unroll: int = 16,
     interpret: bool = False,
 ):
     """Multi-channel LMS over a stream segment via chunked Pallas calls.
@@ -103,6 +138,7 @@ def lms_nr_run_pallas(
     Semantics match vmapped ops/lms.lms_nr_run over channels.
     """
     c, n = x.shape
+    chunk = min(chunk, n)
     if n % chunk:
         raise ValueError("n must be a multiple of chunk")
 
@@ -123,7 +159,8 @@ def lms_nr_run_pallas(
     def step(carry, inputs):
         w, win = carry
         xc, dc = inputs
-        y, e, w2, win2 = lms_chunk(xc, dc, mu, w, win, interpret=interpret)
+        y, e, w2, win2 = lms_chunk(xc, dc, mu, w, win, unroll=unroll,
+                                   interpret=interpret)
         return (w2, win2), (y, e)
 
     (wf, winf), (ys, es) = jax.lax.scan(step, (w0, win0), (xs, ds))

@@ -40,14 +40,17 @@ _PHASE_SCALE = np.float32(2.0 * np.pi / 4294967296.0)
 
 
 def _even_chunks(n: int, chunk_t: int) -> int:
-    """Largest chunk_t' <= chunk_t with n % chunk_t' == 0 and an EVEN number
-    of chunks (the loop body is unrolled 2 chunks/iter for static DMA slots)."""
+    """Largest chunk_t' <= chunk_t (a multiple of 128) with n % chunk_t' == 0.
+
+    The kernel loop body is unrolled 2 chunks/iter for static DMA slot
+    indices; an odd chunk count is handled by one statically-emitted trailing
+    ``process`` call, so the only real constraint is n % 128 == 0."""
     chunk_t = min(chunk_t, n)
-    while chunk_t >= 128 and (n % chunk_t or (n // chunk_t) % 2):
+    while chunk_t >= 128 and n % chunk_t:
         chunk_t //= 2
     if chunk_t < 128:
-        raise ValueError(f"cannot chunk n={n} into an even number of "
-                         "128-multiple chunks")
+        raise ValueError(f"n={n} must be a multiple of 128 (one reference "
+                         "audio block, RDSP_convolutional.h:34)")
     return chunk_t
 
 
@@ -134,6 +137,9 @@ def _sweep_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_chunks // 2, body, 0)
+    if n_chunks % 2:
+        # odd chunk count: the last pair's prefetch already targeted slot 0
+        process(n_chunks - 1, 0)
 
 
 def sweep_mix_filter_demod(
@@ -444,6 +450,9 @@ def _chain_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_chunks // 2, body, 0)
+    if n_chunks % 2:
+        # odd chunk count: the last pair's prefetch already targeted slot 0
+        process(n_chunks - 1, 0)
     atail_out_ref[:] = audio_tail[:]
     env_out_ref[:] = env_carry[:]
     if demod == "am":

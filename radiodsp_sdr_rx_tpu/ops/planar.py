@@ -198,13 +198,12 @@ def noise_blanker_planar(
     threshold_db: float = 10.0,
     tau_samples: float = 512.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Impulse blanker (ops/noise_blanker.noise_blanker), planar."""
-    import math
-
+    """Impulse blanker (ops/noise_blanker.noise_blanker), planar.
+    tau_samples may be a traced scalar (ReceiverConfig.nb_tau_samples)."""
     from radiodsp_sdr_rx_tpu.ops.iir import first_order_iir
 
     mag = jnp.sqrt(xr * xr + xi * xi)
-    a = math.exp(-1.0 / tau_samples)
+    a = jnp.exp(-1.0 / jnp.asarray(tau_samples, jnp.float32))
     avg, avg_last = first_order_iir(mag, a, 1.0 - a, avg0)
     thresh = 10.0 ** (threshold_db / 20.0)
     keep = mag <= (avg * thresh + 1e-12)

@@ -93,3 +93,32 @@ def render_spectrum_ascii(view: np.ndarray, width: int = 128, height: int = 16) 
     for r in range(height, 0, -1):
         rows.append("".join("|" if l >= r else " " for l in levels))
     return "\n".join(rows)
+
+
+def render_audio_spectrum_ascii(audio_bins: np.ndarray, height: int = 14) -> str:
+    """AF-FFT scope: 101 audio-FFT bins, bar = |bin|*5 clipped at 70
+    (Update_AudioSpectrum, RDSP_display.h:210-230)."""
+    bars = np.clip(np.abs(np.asarray(audio_bins)[:101]) * SCALE, 0, 70)
+    levels = (bars / 70.0 * height).astype(int)
+    rows = []
+    for r in range(height, 0, -1):
+        rows.append("".join("|" if l >= r else " " for l in levels))
+    return "\n".join(rows)
+
+
+def render_double_spectrum_ascii(
+    view: np.ndarray, audio_bins: np.ndarray, height: int = 14
+) -> str:
+    """Combined dual-scope layout (Update_DoubleSpectrum,
+    RDSP_display.h:380-401): half-width RX panadapter on the left, AF-FFT
+    audio scope on the right, separated like the reference's cyan divider.
+
+    view: (256,) smoothed panadapter view (models/metrics 'view');
+    audio_bins: (>=101,) audio-FFT magnitudes (one 'audio_spectrum' row).
+    """
+    left = render_spectrum_ascii(view, width=64, height=height).splitlines()
+    right = render_audio_spectrum_ascii(audio_bins, height=height).splitlines()
+    header = "RX-SCOPE".ljust(64) + " | " + "AF-FFT"
+    body = [f"{l} | {r}" for l, r in zip(left, right)]
+    rule = "-" * 64 + " + " + "-" * 101
+    return "\n".join([header, rule] + body)

@@ -121,3 +121,19 @@ def test_ascii_renderers_run():
     view = np.random.default_rng(0).uniform(0, 80, 256)
     out2 = display.render_spectrum_ascii(view)
     assert len(out2.splitlines()) == 16
+
+
+def test_double_spectrum_render():
+    """Update_DoubleSpectrum layout (RDSP_display.h:380-401): half panadapter
+    left, AF-FFT right, labels + divider."""
+    rng = np.random.default_rng(1)
+    view = rng.uniform(0, 80, 256)
+    audio_bins = rng.uniform(0, 20, 512)
+    out = display.render_double_spectrum_ascii(view, audio_bins, height=10)
+    lines = out.splitlines()
+    assert lines[0].startswith("RX-SCOPE")
+    assert "AF-FFT" in lines[0]
+    assert len(lines) == 12  # header + rule + 10 bar rows
+    # AF-FFT bar law: |bin|*5 clipped at 70 (RDSP_display.h:219-220)
+    tall = display.render_audio_spectrum_ascii(np.full(512, 1e6), height=10)
+    assert tall.splitlines()[0].count("|") == 101

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from radiodsp_sdr_rx_tpu.models.config import AGCMode, DemodMode, ReceiverConfig
 from radiodsp_sdr_rx_tpu.models.receiver import Receiver
@@ -79,3 +80,27 @@ def test_public_import_surface():
     )
     from radiodsp_sdr_rx_tpu.utils import checkpoint, profiling, scenes  # noqa
     assert pkg.SAMPLE_RATE == 44117.64706
+
+
+@pytest.mark.parametrize("fft_l", [1024, 2048])
+def test_fft_length_selectable(fft_l):
+    """Backup sketch FFT_L range 256..4096 (RadioDSP_SDR_RX_Conv.ino:1371-1398)
+    beyond the 512 case: end-to-end demod + exact streaming carry."""
+    n = 1 << 15
+    cfg = ReceiverConfig(
+        mode=DemodMode.USB, vfo_freq=7_060_000.0,
+        capture_center_freq=7_050_000.0, agc=AGCMode.OFF, fft_length=fft_l,
+    )
+    rx = Receiver(cfg)
+    audio_in = np.sin(2 * np.pi * 1000.0 * np.arange(n) / FS)
+    iq = siggen.ssb_from_audio(audio_in, 10_000.0, FS, "usb", amp=0.4)
+    out, _ = rx.process(iq, rx.init_state())
+    a = np.asarray(out["audio_l"])[8000:]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    freqs = np.fft.rfftfreq(len(a), 1 / FS)
+    assert abs(freqs[spec.argmax()] - 1000.0) < 30.0
+    out1, st = rx.process(iq[: n // 2], rx.init_state())
+    out2, _ = rx.process(iq[n // 2:], st)
+    np.testing.assert_allclose(
+        np.concatenate([out1["audio_l"], out2["audio_l"]]),
+        np.asarray(out["audio_l"]), atol=1e-5)

@@ -142,6 +142,19 @@ class ChannelizedBank:
             env=np.full(self.m, 1e-6, np.float32),
         )
 
+    @property
+    def segment_multiple(self) -> int:
+        """Smallest legal segment length (inputs must be a multiple of this).
+
+        baseband/am/power modes need n % M == 0 (one PFB frame per output
+        sample); ssb mode additionally needs the 2x-rate channel streams to
+        frame into 128-sample overlap-save blocks -> n % (64*M) == 0. Host
+        feeders (StreamingReceiver / utils.native_io ring) deliver aligned
+        segments by construction; arbitrary captures should be truncated or
+        zero-padded by the caller to this multiple.
+        """
+        return 64 * self.m if self.demod == "ssb" else self.m
+
     def channel_freq(self, k: int, center_freq: float = 0.0) -> float:
         """RF center of channel k (k >= M/2 wraps to negative offsets)."""
         off = k * self.sample_rate / self.m
@@ -149,8 +162,19 @@ class ChannelizedBank:
             off -= self.sample_rate
         return center_freq + off
 
+    def _check_len(self, n: int) -> None:
+        m = self.segment_multiple
+        if n % m:
+            raise ValueError(
+                f"segment length {n} must be a multiple of {m} "
+                f"({'64*M: 2x-rate channel streams must frame into '
+                   '128-sample overlap-save blocks' if self.demod == 'ssb'
+                   else 'M: one PFB frame per channel-rate sample'}); "
+                f"truncate or pad to n={n - n % m or m}")
+
     def process(self, iq, state: ChannelizedState):
         iq = np.asarray(iq) if isinstance(iq, np.ndarray) else iq
+        self._check_len(iq.shape[-1])
         if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
             xr = np.ascontiguousarray(iq.real, np.float32)
             xi = np.ascontiguousarray(iq.imag, np.float32)
@@ -161,4 +185,5 @@ class ChannelizedBank:
         return self._fn(state, xr, xi)
 
     def process_planar(self, xr, xi, state: ChannelizedState):
+        self._check_len(xr.shape[-1])
         return self._fn(state, xr, xi)

@@ -19,3 +19,7 @@ from radiodsp_sdr_rx_tpu.parallel.stream_shard import (
     shard_channel_bank,
 )
 from radiodsp_sdr_rx_tpu.parallel.stream_shard import sharded_panadapter  # noqa: E402
+from radiodsp_sdr_rx_tpu.parallel.pallas_halo import (  # noqa: E402
+    ring_shift_right_pallas,
+    shift_from_left_pallas,
+)

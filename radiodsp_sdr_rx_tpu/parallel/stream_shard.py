@@ -46,18 +46,25 @@ def _shift_from_left(tail: jax.Array, axis_name: str, first_tail: jax.Array) -> 
 
 
 def sharded_overlap_save(
-    x: jax.Array, w: jax.Array, first_tail: jax.Array, axis_name: str
+    x: jax.Array, w: jax.Array, first_tail: jax.Array, axis_name: str,
+    halo: str = "ppermute",
 ):
     """Overlap-save filtering of a time-sharded stream (inside shard_map).
 
     x: (n_local,) local contiguous segment; w: collapsed operator;
-    first_tail: (F/2,) stream-start carry. Returns (y_local, global_new_tail)
-    where global_new_tail is only valid on the last device (it is the stream's
+    first_tail: (F/2,) stream-start carry. halo: "ppermute" (XLA collective)
+    or "pallas" (fused Pallas make_async_remote_copy ring — SURVEY §2.3's
+    named ICI primitive). Returns (y_local, global_new_tail) where
+    global_new_tail is only valid on the last device (it is the stream's
     true final tail; callers normally read it after an all_gather or ignore it).
     """
     half = first_tail.shape[-1]
     my_tail = x[..., -half:]
-    tail = _shift_from_left(my_tail, axis_name, first_tail)
+    if halo == "pallas":
+        from radiodsp_sdr_rx_tpu.parallel.pallas_halo import shift_from_left_pallas
+        tail = shift_from_left_pallas(my_tail, axis_name, first_tail)
+    else:
+        tail = _shift_from_left(my_tail, axis_name, first_tail)
     y, _ = fastconv.overlap_save_filter(x, w, tail)
     return y, my_tail
 
@@ -126,13 +133,15 @@ def make_time_sharded_ssb_chain(
     axis_name: str = "time",
     am: bool = False,
     sample_rate: float = 44117.64706,
+    halo: str = "ppermute",
 ):
     """Build a jitted, time-sharded full RX chain (NCO -> sideband filter ->
     SSB or AM demod -> AGC -> PBT filter), exact vs the single-device chain.
 
-    Returns fn(iq, nco_inc, w_sb, w_audio, agc_release, agc_target,
-               agc_max_gain, output_gain) -> audio, with iq sharded over
-    ``axis_name`` and everything else replicated.
+    halo: "ppermute" or "pallas" (fused make_async_remote_copy ring,
+    parallel/pallas_halo.py). Returns fn(iq, nco_inc, w_sb, w_audio,
+    agc_release, agc_target, agc_max_gain, output_gain) -> audio, with iq
+    sharded over ``axis_name`` and everything else replicated.
     """
 
     def local_chain(iq, nco_inc, w_sb, w_audio, rel, tgt, mg, out_gain):
@@ -147,7 +156,7 @@ def make_time_sharded_ssb_chain(
         # sideband filter with ring halo — NOTE the halo must be the *mixed*
         # stream's tail, so exchange after mixing
         z, _ = sharded_overlap_save(z, w_sb, jnp.zeros(half, jnp.complex64),
-                                    axis_name)
+                                    axis_name, halo=halo)
 
         if am:
             env = jnp.abs(z)
@@ -167,7 +176,7 @@ def make_time_sharded_ssb_chain(
         # PBT audio filter (reference conv-engine layout: z = L + jR, L = R)
         za = jax.lax.complex(audio, audio)
         za, _ = sharded_overlap_save(za, w_audio, jnp.zeros(half, jnp.complex64),
-                                     axis_name)
+                                     axis_name, halo=halo)
         return za.real * out_gain
 
     sharded = jax.shard_map(
@@ -175,6 +184,9 @@ def make_time_sharded_ssb_chain(
         mesh=mesh,
         in_specs=(P(axis_name), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(axis_name),
+        # the pallas halo kernel's output vma is inexpressible (see
+        # parallel/pallas_halo.ring_shift_right_pallas)
+        check_vma=(halo != "pallas"),
     )
     return jax.jit(sharded)
 

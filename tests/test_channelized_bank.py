@@ -101,3 +101,19 @@ def test_ssb_mode_streaming_continuity(rng):
     got = np.concatenate([np.asarray(o1["audio"]), np.asarray(o2["audio"])],
                          axis=-1)
     np.testing.assert_allclose(got, np.asarray(out_f["audio"]), atol=2e-5)
+
+
+def test_segment_multiple_validation():
+    import pytest as _pytest
+
+    from radiodsp_sdr_rx_tpu.models.channelized import ChannelizedBank
+
+    bank = ChannelizedBank(n_channels=16, demod="am")
+    assert bank.segment_multiple == 16
+    with _pytest.raises(ValueError, match="multiple of 16"):
+        bank.process(np.zeros(100, np.complex64), bank.init_state())
+
+    bank_ssb = ChannelizedBank(n_channels=16, demod="ssb")
+    assert bank_ssb.segment_multiple == 64 * 16
+    with _pytest.raises(ValueError, match="multiple of 1024"):
+        bank_ssb.process(np.zeros(512, np.complex64), bank_ssb.init_state())

@@ -97,18 +97,31 @@ def cmd_scope(args) -> int:
 
     from radiodsp_sdr_rx_tpu.models.metrics import analyze, scope_init
     from radiodsp_sdr_rx_tpu.utils.display import (
-        render_spectrum_ascii, render_waterfall_ascii,
+        render_double_spectrum_ascii, render_spectrum_ascii,
+        render_waterfall_ascii,
     )
 
     iq, fs = _load_iq(args)
     n = min(len(iq), 128 * 30 * 40)
     n = (n // 128) * 128
-    audio = np.zeros(max((n // 512) * 512, 512), np.float32)
+    if args.dual:
+        # demod the capture so the AF-FFT pane shows real audio
+        rx, _ = _build_receiver(args)
+        out, _ = rx.process(np.asarray(iq[:n]), rx.init_state())
+        audio = np.asarray(out["audio_l"], np.float32)
+        audio = audio[: (len(audio) // 512) * 512]
+    else:
+        audio = np.zeros(max((n // 512) * 512, 512), np.float32)
     m, _ = analyze(jnp.asarray(iq[:n]), jnp.asarray(audio), scope_init(),
                    sample_rate=fs)
     span = fs / 1e3
     print(f"panadapter: ±{span/2:.1f} kHz around {args.center/1e6:.6f} MHz")
-    print(render_spectrum_ascii(np.asarray(m["view"])))
+    if args.dual:
+        # Update_DoubleSpectrum layout (RDSP_display.h:380-401)
+        print(render_double_spectrum_ascii(
+            np.asarray(m["view"]), np.asarray(m["audio_spectrum"])[-1]))
+    else:
+        print(render_spectrum_ascii(np.asarray(m["view"])))
     print("-" * 128)
     print(render_waterfall_ascii(np.asarray(m["waterfall"])))
     s = float(m["s_units"])
@@ -201,6 +214,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("scope", help="render panadapter + waterfall + S-meter")
     _add_rx_args(p)
+    p.add_argument("--dual", action="store_true",
+                   help="dual-scope layout: half panadapter + AF-FFT of the "
+                        "demodulated audio (Update_DoubleSpectrum)")
     p.set_defaults(fn=cmd_scope)
 
     p = sub.add_parser("stream", help="demodulate via the native ring feeder")

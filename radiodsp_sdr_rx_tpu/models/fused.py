@@ -77,8 +77,9 @@ class FusedSSBBank:
         def fn_sweep(state: FusedBankState, xr, xi, incs, w_ssb, w_pbt):
             in_gain, out_gain = gains
             n = xr.shape[-1]
-            xr = xr * in_gain
-            xi = xi * (in_gain * np.float32(config.iq_gain_balance))
+            # input gain / IQ balance fold INTO the kernel: scaling outside
+            # costs two full HBM read+write passes on a bandwidth-bound chain
+            # (sb_tail therefore carries the RAW input's last block)
             from radiodsp_sdr_rx_tpu.ops.pallas_sweep import sweep_full_chain
             l, r, atail, env = sweep_full_chain(
                 xr, xi, incs, state.nco_phase,
@@ -90,6 +91,8 @@ class FusedSSBBank:
                 agc_enabled=bool(agc_params.enabled),
                 out_gain=float(out_gain),
                 block_c=block_c, chunk_t=block_t, interpret=interpret,
+                in_gain=float(in_gain),
+                iq_balance=float(config.iq_gain_balance),
             )
             new_state = FusedBankState(
                 nco_phase=state.nco_phase
@@ -491,8 +494,8 @@ class FusedAMBank:
         def fn(state: FusedAMBankState, xr, xi, incs, w_sb, w_pbt):
             in_gain, out_gain = gains
             n = xr.shape[-1]
-            xr = xr * in_gain
-            xi = xi * (in_gain * np.float32(config.iq_gain_balance))
+            # gain/balance fold into the kernel (see FusedSSBBank.fn_sweep);
+            # sb_tail carries the RAW input's last block
             from radiodsp_sdr_rx_tpu.ops.pallas_sweep import sweep_am_chain
             l, r, atail, env, dc = sweep_am_chain(
                 xr, xi, incs, state.nco_phase,
@@ -504,6 +507,8 @@ class FusedAMBank:
                 agc_enabled=bool(agc_params.enabled),
                 out_gain=float(out_gain),
                 block_c=block_c, chunk_t=block_t, interpret=interpret,
+                in_gain=float(in_gain),
+                iq_balance=float(config.iq_gain_balance),
             )
             new_state = FusedAMBankState(
                 nco_phase=state.nco_phase

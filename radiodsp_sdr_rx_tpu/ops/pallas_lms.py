@@ -35,7 +35,7 @@ LANES = 128
 
 def _lms_kernel(x_ref, d_ref, mu_ref, w_ref, win_ref, y_ref, e_ref,
                 w_out_ref, win_out_ref, *, chunk: int, taps: int,
-                unroll: int = 8):
+                unroll: int = 8, paired: bool = True):
     """One chunk: x_ref/d_ref (chunk, C); states (taps, C).
 
     The per-sample recurrence is unavoidable (weights adapt every sample),
@@ -69,6 +69,39 @@ def _lms_kernel(x_ref, d_ref, mu_ref, w_ref, win_ref, y_ref, e_ref,
         e_ref[n, :] = e
         return w, energy
 
+    def pairstep(u, tile, w, energy, m):
+        """Two samples with one weight read (exact algebra): both dots use
+        the pair-start weights; sample u+1's output is corrected with the
+        lag-1 window correlation,
+
+            y1 = w*win1 + c0 * (win0 . win1)   ==  (w + c0 win0) . win1
+
+        so the serial chain per pair is just e0 -> c0 -> e1 -> c1 -> update
+        while all three 96-tap reductions issue in parallel."""
+        win0 = tile[u + 1:u + 1 + taps, :]
+        win1 = tile[u + 2:u + 2 + taps, :]
+        e0n = tile[taps + u, :] * tile[taps + u, :]
+        e0o = tile[u, :] * tile[u, :]
+        e1n = tile[taps + u + 1, :] * tile[taps + u + 1, :]
+        e1o = tile[u + 1, :] * tile[u + 1, :]
+        energy0 = energy + (e0n - e0o)
+        energy1 = energy0 + (e1n - e1o)
+        y0 = jnp.sum(w * win0, axis=0)
+        y1p = jnp.sum(w * win1, axis=0)
+        r01 = jnp.sum(win0 * win1, axis=0)         # data-independent
+        n = m * unroll + u
+        e0 = d_ref[n, :] - y0
+        c0 = mu * e0 / (energy0 + _EPS)
+        y1 = y1p + c0 * r01
+        e1 = d_ref[n + 1, :] - y1
+        c1 = mu * e1 / (energy1 + _EPS)
+        w = w + (c0[None, :] * win0 + c1[None, :] * win1)
+        y_ref[n, :] = y0
+        e_ref[n, :] = e0
+        y_ref[n + 1, :] = y1
+        e_ref[n + 1, :] = e1
+        return w, energy1
+
     def macro(m, carry):
         w, win = carry
         xs = x_ref[pl.ds(m * unroll, unroll), :]   # (U, C) new samples
@@ -77,8 +110,12 @@ def _lms_kernel(x_ref, d_ref, mu_ref, w_ref, win_ref, y_ref, e_ref,
         base = tile[1:1 + taps, :]
         energy = jnp.sum(base * base, axis=0) - (
             tile[taps, :] * tile[taps, :] - tile[0, :] * tile[0, :])
-        for u in range(unroll):                    # static unroll
-            w, energy = substep(u, tile, w, energy, m)
+        if paired:
+            for u in range(0, unroll, 2):          # static unroll, pairs
+                w, energy = pairstep(u, tile, w, energy, m)
+        else:
+            for u in range(unroll):                # static unroll
+                w, energy = substep(u, tile, w, energy, m)
         return (w, tile[unroll:, :])
 
     w, win = jax.lax.fori_loop(0, chunk // unroll, macro,
@@ -88,7 +125,7 @@ def _lms_kernel(x_ref, d_ref, mu_ref, w_ref, win_ref, y_ref, e_ref,
 
 
 def lms_chunk(x, d, mu, w, win, *, unroll: int = 16,
-              interpret: bool = False):
+              paired: bool = True, interpret: bool = False):
     """Run one LMS chunk. x, d: (chunk, C) f32; w, win: (taps, C) f32.
 
     Returns (y (chunk, C), e (chunk, C), w', win').
@@ -100,7 +137,7 @@ def lms_chunk(x, d, mu, w, win, *, unroll: int = 16,
     if chunk % unroll:
         raise ValueError(f"chunk {chunk} must be a multiple of unroll {unroll}")
     kernel = functools.partial(_lms_kernel, chunk=chunk, taps=taps,
-                               unroll=unroll)
+                               unroll=unroll, paired=paired)
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
     y, e, w2, win2 = pl.pallas_call(
         kernel,
@@ -127,6 +164,7 @@ def lms_nr_run_pallas(
     mode: str = "denoise",
     chunk: int = 4096,
     unroll: int = 16,
+    paired: bool = True,
     interpret: bool = False,
 ):
     """Multi-channel LMS over a stream segment via chunked Pallas calls.
@@ -160,7 +198,7 @@ def lms_nr_run_pallas(
         w, win = carry
         xc, dc = inputs
         y, e, w2, win2 = lms_chunk(xc, dc, mu, w, win, unroll=unroll,
-                                   interpret=interpret)
+                                   paired=paired, interpret=interpret)
         return (w2, win2), (y, e)
 
     (wf, winf), (ys, es) = jax.lax.scan(step, (w0, win0), (xs, ds))

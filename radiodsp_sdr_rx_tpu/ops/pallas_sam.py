@@ -33,6 +33,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 _TWO_PI = float(2.0 * np.pi)
+_PI = float(np.pi)
+_PI_2 = float(np.pi / 2.0)
+_PI_4 = float(np.pi / 4.0)
+
+
+def _atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
+    """atan2 from primitives this backend lowers (no atan2/atan in Mosaic).
+
+    Octant reduction + the Cephes single-precision arctan polynomial
+    (z' = (z-1)/(z+1) reduction to [0, tan pi/8], 4-term minimax): |err|
+    ~1e-7 rad — far inside the PLL tolerances (tests compare the whole
+    demod chain at 2e-3)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.maximum(hi, np.float32(1e-30))        # [0, 1]
+    big = z > np.float32(0.41421356)
+    z1 = jnp.where(big, (z - 1.0) / (z + 1.0), z)
+    z2 = z1 * z1
+    p = ((((np.float32(8.05374449538e-2) * z2
+            - np.float32(1.38776856032e-1)) * z2
+           + np.float32(1.99777106478e-1)) * z2
+          - np.float32(3.33329491539e-1)) * z2) * z1 + z1
+    t = jnp.where(big, np.float32(_PI_4) + p, p)
+    t = jnp.where(ay > ax, np.float32(_PI_2) - t, t)
+    t = jnp.where(x < 0.0, np.float32(_PI) - t, t)
+    return jnp.where(y < 0.0, -t, t)
 
 
 def _sam_kernel(zr_ref, zi_ref, phase_ref, freq_ref,
@@ -48,7 +76,7 @@ def _sam_kernel(zr_ref, zi_ref, phase_ref, freq_ref,
         ci = jnp.sin(phase)
         vr = zr * cr + zi * ci                 # z * conj(ref)
         vi = zi * cr - zr * ci
-        err = jnp.arctan2(vi, vr)
+        err = _atan2_poly(vi, vr)
         freq = jnp.clip(freq + np.float32(ki) * err,
                         -np.float32(max_freq), np.float32(max_freq))
         phase = jnp.mod(phase + freq + np.float32(kp) * err,

@@ -266,6 +266,7 @@ def _chain_kernel(
     *, chunk_nb: int, n_chunks: int, out_gain: float,
     agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, emit_r: bool, demod: str, dc_pole: float,
+    in_gain: float = 1.0, iq_balance: float = 1.0,
 ):
     """The whole reference conv-engine chain for one channel block, streaming
     the time axis through a 2-slot VMEM ring. Parity chain (to f32 tol):
@@ -303,12 +304,21 @@ def _chain_kernel(
     inc = inc_ref[:][:, :, None]              # (cb, 1, 1) int32
     ph0 = phase0_ref[:][:, :, None]
 
+    # input gain / IQ balance fold into the kernel (saves two full HBM passes
+    # that scaling outside would cost — the chain is bandwidth-bound)
+    g_i = np.float32(in_gain)
+    g_q = np.float32(in_gain * iq_balance)
+    scaled = not (in_gain == 1.0 and iq_balance == 1.0)
+
     # mix the raw input tails (positions -128..-1) into the carried mixed tail
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (cb, 1, 128), 2)
     ang_t = ((ph0 + (lane_t - 128) * inc).astype(jnp.float32) * _PHASE_SCALE)
     ct, st = jnp.cos(ang_t), jnp.sin(ang_t)
     tr_in = tin_r_ref[:][:, None, :]
     ti_in = tin_i_ref[:][:, None, :]
+    if scaled:
+        tr_in = tr_in * g_i
+        ti_in = ti_in * g_q
     tail_r[:] = (tr_in * ct + ti_in * st)[:, 0, :]
     tail_i[:] = (ti_in * ct - tr_in * st)[:, 0, :]
     audio_tail[:] = atail_in_ref[:]
@@ -353,6 +363,9 @@ def _chain_kernel(
         c, s = jnp.cos(ang), jnp.sin(ang)
         xr = buf_r[slot]
         xi = buf_i[slot]
+        if scaled:
+            xr = xr * g_i
+            xi = xi * g_q
         br = xr * c + xi * s
         bi = xi * c - xr * s
 
@@ -468,6 +481,7 @@ def _sweep_chain(
     *, demod: str, agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, out_gain: float, dc_pole: float,
     block_c: int, chunk_t: int, emit_r: bool, interpret: bool,
+    in_gain: float = 1.0, iq_balance: float = 1.0,
 ):
     """Shared pallas_call wrapper for the full-chain sweep kernels."""
     if not (0.0 < dc_pole <= 1.0):
@@ -490,7 +504,8 @@ def _sweep_chain(
         out_gain=out_gain, agc_release=float(agc_release),
         agc_target=agc_target, agc_max_gain=agc_max_gain,
         agc_enabled=agc_enabled, emit_r=emit_r, demod=demod,
-        dc_pole=float(dc_pole))
+        dc_pole=float(dc_pole), in_gain=float(in_gain),
+        iq_balance=float(iq_balance))
 
     def vspec(shape):
         return pl.BlockSpec(shape, lambda ci: (ci,) + (0,) * (len(shape) - 1),
@@ -575,6 +590,8 @@ def sweep_full_chain(
     chunk_t: int = 4096,
     emit_r: bool = True,
     interpret: bool = False,
+    in_gain: float = 1.0,
+    iq_balance: float = 1.0,
 ):
     """Whole SSB receive chain in one single-sweep Pallas kernel.
 
@@ -601,7 +618,8 @@ def sweep_full_chain(
         demod="ssb", agc_release=agc_release, agc_target=agc_target,
         agc_max_gain=agc_max_gain, agc_enabled=agc_enabled,
         out_gain=out_gain, dc_pole=1.0, block_c=block_c, chunk_t=chunk_t,
-        emit_r=emit_r, interpret=interpret)
+        emit_r=emit_r, interpret=interpret, in_gain=in_gain,
+        iq_balance=iq_balance)
     return audio_l, audio_r, atail, env_next
 
 
@@ -627,6 +645,8 @@ def sweep_am_chain(
     chunk_t: int = 4096,
     emit_r: bool = True,
     interpret: bool = False,
+    in_gain: float = 1.0,
+    iq_balance: float = 1.0,
 ):
     """Whole AM receive chain in one single-sweep Pallas kernel.
 
@@ -648,4 +668,5 @@ def sweep_am_chain(
         demod="am", agc_release=agc_release, agc_target=agc_target,
         agc_max_gain=agc_max_gain, agc_enabled=agc_enabled,
         out_gain=out_gain, dc_pole=dc_pole, block_c=block_c, chunk_t=chunk_t,
-        emit_r=emit_r, interpret=interpret)
+        emit_r=emit_r, interpret=interpret, in_gain=in_gain,
+        iq_balance=iq_balance)

@@ -15,6 +15,7 @@ and is tested for equality against it on CPU.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -221,6 +222,44 @@ def dft_matrices(n: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(w).astype(np.float32), np.sin(w).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _split_dft_consts(n: int):
+    """Host-built f32 constants for a radix-2 DIT split of the n-point DFT:
+    half-size cos/sin matrices + first-level twiddles (f64 math)."""
+    m = n // 2
+    k = np.arange(m)
+    w = 2.0 * np.pi * np.outer(k, k) / m
+    tw = 2.0 * np.pi * k / n
+    return (np.cos(w).astype(np.float32), np.sin(w).astype(np.float32),
+            np.cos(tw).astype(np.float32), np.sin(tw).astype(np.float32))
+
+
+def planar_dft_split(xr: jax.Array, xi: jax.Array, n: int,
+                     precision=jax.lax.Precision.HIGHEST):
+    """n-point DFT of planar complex frames (..., n) via one radix-2
+    decimation-in-time level: two (n/2)^2 matmuls instead of one n^2 —
+    half the MXU flops, with the (n/2)-point sub-DFTs still 128-wide
+    (MXU-native for the reference's n=256). Exact same math as
+    X = (xr + j xi) @ (C_n - j S_n); rounding differs at the f32 ulp level.
+    """
+    c2, s2, twc, tws = _split_dft_consts(n)
+    m = n // 2
+    x2r = xr.reshape(*xr.shape[:-1], m, 2)
+    x2i = xi.reshape(*xi.shape[:-1], m, 2)
+    er_, ei_ = x2r[..., 0], x2i[..., 0]          # even samples
+    or_, oi_ = x2r[..., 1], x2i[..., 1]          # odd samples
+    mm = functools.partial(jnp.matmul, precision=precision)
+    e_r = mm(er_, c2) + mm(ei_, s2)
+    e_i = mm(ei_, c2) - mm(er_, s2)
+    o_r = mm(or_, c2) + mm(oi_, s2)
+    o_i = mm(oi_, c2) - mm(or_, s2)
+    # twiddle W_n^k = e^{-2pi j k / n}
+    t_r = twc * o_r + tws * o_i
+    t_i = twc * o_i - tws * o_r
+    return (jnp.concatenate([e_r + t_r, e_r - t_r], axis=-1),
+            jnp.concatenate([e_i + t_i, e_i - t_i], axis=-1))
+
+
 def spectral_subtract_planar(
     l: jax.Array,
     r: jax.Array,
@@ -231,10 +270,15 @@ def spectral_subtract_planar(
     tail_l: jax.Array,
     tail_r: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
+    split_dft: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """The backup engine's spectral subtraction (ops/spectral_sub) with the
     FFTs as planar DFT matmuls on the MXU (z = L + jR per the reference frame
     layout). Returns (L', R', nfloor_last, new_tail_l, new_tail_r).
+
+    split_dft=True runs both transforms through one radix-2 DIT level
+    (planar_dft_split — half the MXU flops; the dft_cos/dft_sin operands are
+    then only used for their static size). False keeps the direct n^2 form.
     """
     from radiodsp_sdr_rx_tpu.ops.spectral_sub import (
         FLOOR_BETA, UNDER_FLOOR_GAIN, VAD_END_BIN, VAD_START_BIN,
@@ -245,10 +289,13 @@ def spectral_subtract_planar(
     fl = frame_planar(l, tail_l, block)          # (..., nb, n)
     fr_ = frame_planar(r, tail_r, block)
     # forward DFT: spec = (fl + j fr) @ (C - jS)
-    sr = jnp.matmul(fl, dft_cos, precision=precision) + jnp.matmul(
-        fr_, dft_sin, precision=precision)
-    si = jnp.matmul(fr_, dft_cos, precision=precision) - jnp.matmul(
-        fl, dft_sin, precision=precision)
+    if split_dft:
+        sr, si = planar_dft_split(fl, fr_, n, precision)
+    else:
+        sr = jnp.matmul(fl, dft_cos, precision=precision) + jnp.matmul(
+            fr_, dft_sin, precision=precision)
+        si = jnp.matmul(fr_, dft_cos, precision=precision) - jnp.matmul(
+            fl, dft_sin, precision=precision)
     mag = jnp.sqrt(sr * sr + si * si)
 
     band = mag[..., VAD_START_BIN : VAD_END_BIN + 1]
@@ -274,10 +321,16 @@ def spectral_subtract_planar(
     # subtracted magnitude with original phase == scaling the complex bin
     sr2, si2 = sr * scale, si * scale
     # inverse DFT (1/n scaling): y = (sr2 + j si2) @ (C + jS) / n
-    yl = (jnp.matmul(sr2, dft_cos, precision=precision)
-          - jnp.matmul(si2, dft_sin, precision=precision)) * (1.0 / n)
-    yr = (jnp.matmul(si2, dft_cos, precision=precision)
-          + jnp.matmul(sr2, dft_sin, precision=precision)) * (1.0 / n)
+    #                              = conj(DFT(conj(spec))) / n
+    if split_dft:
+        ar, ai = planar_dft_split(sr2, -si2, n, precision)
+        yl = ar * (1.0 / n)
+        yr = -ai * (1.0 / n)
+    else:
+        yl = (jnp.matmul(sr2, dft_cos, precision=precision)
+              - jnp.matmul(si2, dft_sin, precision=precision)) * (1.0 / n)
+        yr = (jnp.matmul(si2, dft_cos, precision=precision)
+              + jnp.matmul(sr2, dft_sin, precision=precision)) * (1.0 / n)
     out_l = yl[..., block:].reshape(l.shape)
     out_r = yr[..., block:].reshape(r.shape)
     return out_l, out_r, nfloor[..., -1], l[..., -block:], r[..., -block:]

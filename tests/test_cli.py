@@ -70,3 +70,12 @@ def test_cli_scan(tmp_path, capsys):
     assert "MHz" in out and "ch " in out
     # the hot channel sits at +10 kHz: channel round(10000/(FS/64)) = 15
     assert " 15 " in out or "ch   15" in out
+
+
+def test_cli_scope_dual(tmp_path, capsys):
+    cap = _make_capture(tmp_path)
+    rc = main(["scope", cap, "--center", "7050000", "--mode", "usb",
+               "--vfo", "7060000", "--dual"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "RX-SCOPE" in out and "AF-FFT" in out

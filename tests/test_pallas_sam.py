@@ -106,3 +106,20 @@ def test_sam_pallas_plus_dc_matches_demod_sam(rng):
 
     want = jax.vmap(one)(jnp.asarray(zr), jnp.asarray(zi))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_atan2_poly_matches_numpy(rng):
+    """In-kernel atan2 (octant reduction + Cephes poly — Mosaic has no
+    atan2 primitive) vs numpy over all quadrants."""
+    from radiodsp_sdr_rx_tpu.ops.pallas_sam import _atan2_poly
+
+    y = rng.standard_normal((64, 128)).astype(np.float32)
+    x = rng.standard_normal((64, 128)).astype(np.float32)
+    got = np.asarray(_atan2_poly(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y, x)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    # axes / origin edge cases
+    ys = np.array([0.0, 0.0, 1.0, -1.0, 0.0], np.float32)
+    xs = np.array([1.0, -1.0, 0.0, 0.0, 0.0], np.float32)
+    got2 = np.asarray(_atan2_poly(jnp.asarray(ys), jnp.asarray(xs)))
+    np.testing.assert_allclose(got2, np.arctan2(ys, xs), atol=2e-6)

@@ -119,3 +119,43 @@ def test_spectral_sub_planar_matches_complex(rng):
     np.testing.assert_allclose(np.asarray(l2), want.real, atol=2e-4)
     np.testing.assert_allclose(np.asarray(r2), want.imag, atol=2e-4)
     np.testing.assert_allclose(float(nf_p), float(nf_c), rtol=1e-3)
+
+
+def test_planar_dft_split_matches_direct(rng):
+    """Radix-2 DIT split DFT == direct n^2 DFT matmuls (half the MXU flops)."""
+    from radiodsp_sdr_rx_tpu.ops.planar import dft_matrices, planar_dft_split
+
+    n = 256
+    c, s = dft_matrices(n)
+    xr = rng.standard_normal((3, 5, n)).astype(np.float32)
+    xi = rng.standard_normal((3, 5, n)).astype(np.float32)
+    want_r = xr @ c + xi @ s
+    want_i = xi @ c - xr @ s
+    got_r, got_i = planar_dft_split(jnp.asarray(xr), jnp.asarray(xi), n)
+    np.testing.assert_allclose(np.asarray(got_r), want_r, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_i), want_i, atol=2e-4)
+
+    # numpy FFT oracle
+    z = (xr + 1j * xi).astype(np.complex64)
+    ref = np.fft.fft(z, axis=-1)
+    np.testing.assert_allclose(np.asarray(got_r), ref.real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_i), ref.imag, atol=2e-3)
+
+
+def test_spectral_subtract_split_equals_direct(rng):
+    from radiodsp_sdr_rx_tpu.ops.planar import (
+        dft_matrices, spectral_subtract_planar)
+
+    n = 4096
+    c, s = dft_matrices(256)
+    l = rng.standard_normal((2, n)).astype(np.float32) * 0.3
+    r = rng.standard_normal((2, n)).astype(np.float32) * 0.3
+    tails = np.zeros((2, 128), np.float32)
+    nf0 = np.zeros(2, np.float32)
+    args = (jnp.asarray(l), jnp.asarray(r), 30.0, jnp.asarray(nf0),
+            jnp.asarray(c), jnp.asarray(s), jnp.asarray(tails),
+            jnp.asarray(tails))
+    a = spectral_subtract_planar(*args, split_dft=True)
+    b = spectral_subtract_planar(*args, split_dft=False)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)

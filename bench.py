@@ -26,11 +26,14 @@ Secondary metrics go to stderr (the driver records stdout only).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 
 SAMPLE_RATE = 44117.64706
 BASELINE_SAMPLES_PER_S = SAMPLE_RATE  # one real-time reference receiver
@@ -43,6 +46,17 @@ REPS = 10
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the TPU pool relay's remote compiles are
+    # slow (tens of seconds) and occasionally hang for minutes (the round-2
+    # watchdog killer). A warm cache turns the bench's compile+first-run from
+    # ~45 s into ~1 s, shrinking the hang-exposure window by ~98%. The cache
+    # is warmed during the build round by running this same program.
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     import jax.numpy as jnp
 
     from radiodsp_sdr_rx_tpu.models.config import AGCMode, DemodMode, ReceiverConfig
@@ -117,30 +131,81 @@ if __name__ == "__main__":
     # AND multi-minute hard hangs inside remote compiles (uninterruptible C
     # calls — SIGALRM can't fire). Each attempt therefore runs in a fresh
     # subprocess with a hard timeout; the parent retries.
+    if "--preflight" in sys.argv:
+        # Trivial end-to-end device round-trip; proves the relay is up.
+        import jax.numpy as jnp
+        assert float(jnp.ones((8,)).sum()) == 8.0
+        sys.exit(0)
+
     if "--inner" in sys.argv:
         main()
         sys.exit(0)
 
     import subprocess
 
-    last = None
-    for attempt in range(4):
+    def run_child(extra, budget):
         try:
-            # last attempt falls back to the XLA planar bank in case the
-            # Pallas sweep path hits a backend regression
-            extra = ["--xla-bank"] if attempt == 3 else []
             r = subprocess.run(
                 [sys.executable, __file__, "--inner", *extra],
-                timeout=420, capture_output=True, text=True,
+                timeout=budget, capture_output=True, text=True,
             )
+            return r, None
+        except subprocess.TimeoutExpired as e:
+            tail = e.stderr or b""
+            if isinstance(tail, bytes):
+                tail = tail.decode("utf-8", "replace")
+            return None, (f"watchdog timeout after {budget}s (relay hang); "
+                          f"stderr tail={tail[-300:]!r}")
+
+    def relay_up(budget=75):
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--inner", "--preflight"],
+                timeout=budget, capture_output=True, text=True,
+            )
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    # Retry plan (round-2 post-mortem: 3x 420-s relay hangs forced the XLA
+    # fallback even though the sweep path was healthy). The relay has
+    # multi-minute outage windows (observed 2026-08-20: even jax.devices()
+    # hangs >90 s), so each real attempt is gated by a cheap preflight probe
+    # — a down relay costs a 75-s probe + sleep, not a full watchdog window.
+    # With a warm compilation cache a good sweep attempt finishes in ~1 min.
+    # Only after repeated healthy-relay sweep failures fall back to XLA.
+    DEADLINE = time.monotonic() + 40 * 60
+    ATTEMPTS = [
+        ("sweep", [], 300),
+        ("sweep", [], 300),
+        ("sweep", [], 420),
+        ("sweep", [], 420),
+        ("sweep", [], 600),
+        ("xla", ["--xla-bank"], 420),
+    ]
+    last = None
+    for attempt, (label, extra, budget) in enumerate(ATTEMPTS, 1):
+        # past the deadline, skip straight to the final XLA fallback
+        if time.monotonic() > DEADLINE and attempt < len(ATTEMPTS):
+            print(f"bench deadline near; skipping attempt {attempt} [{label}]",
+                  file=sys.stderr)
+            continue
+        while not relay_up():
+            print("preflight: relay down, waiting 30s", file=sys.stderr)
+            if time.monotonic() > DEADLINE:
+                raise SystemExit(f"bench deadline exhausted waiting for relay; last={last}")
+            time.sleep(30)
+        r, err = run_child(extra, budget)
+        if r is not None:
             sys.stderr.write(r.stderr)
             lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
             if r.returncode == 0 and lines:
                 print(lines[-1])
                 sys.exit(0)
-            last = f"rc={r.returncode} out={r.stdout[-200:]!r}"
-        except subprocess.TimeoutExpired:
-            last = "watchdog timeout (relay hang)"
-        print(f"bench attempt {attempt + 1} failed: {last}", file=sys.stderr)
-        time.sleep(15)
+            last = (f"rc={r.returncode} out={r.stdout[-200:]!r} "
+                    f"err={r.stderr[-300:]!r}")
+        else:
+            last = err
+        print(f"bench attempt {attempt} [{label}] failed: {last}", file=sys.stderr)
+        time.sleep(10)
     raise SystemExit(f"bench failed after retries: {last}")

@@ -165,11 +165,15 @@ class ChannelizedBank:
     def _check_len(self, n: int) -> None:
         m = self.segment_multiple
         if n % m:
+            # plain variable, not a nested-quote f-string expression: that is
+            # PEP 701 syntax and would fail to parse on Python 3.10/3.11
+            if self.demod == "ssb":
+                reason = ("64*M: 2x-rate channel streams must frame into "
+                          "128-sample overlap-save blocks")
+            else:
+                reason = "M: one PFB frame per channel-rate sample"
             raise ValueError(
-                f"segment length {n} must be a multiple of {m} "
-                f"({'64*M: 2x-rate channel streams must frame into '
-                   '128-sample overlap-save blocks' if self.demod == 'ssb'
-                   else 'M: one PFB frame per channel-rate sample'}); "
+                f"segment length {n} must be a multiple of {m} ({reason}); "
                 f"truncate or pad to n={n - n % m or m}")
 
     def process(self, iq, state: ChannelizedState):

@@ -38,8 +38,16 @@ from radiodsp_sdr_rx_tpu.ops import nco, pallas_kernels
 
 
 class FusedBankState(NamedTuple):
+    """Carry for the fused banks.
+
+    ``sb_tail`` semantics differ by backend and the two state blobs are NOT
+    interchangeable: the "sweep" backend stores the RAW input's last block
+    [re|im] (gain/balance are folded into the kernel, which re-scales and
+    re-mixes the tail in-kernel), while the "staged" backend stores the
+    already scaled+mixed stream's last block.
+    """
     nco_phase: jax.Array   # (C,) uint32 DDS phase words
-    sb_tail: jax.Array     # (C, 256) f32 [re|im] mixed-stream framing tail
+    sb_tail: jax.Array     # (C, 256) f32 [re|im] framing tail (see above)
     audio_tail: jax.Array  # (C, 128) f32 PBT framing tail
     agc_env: jax.Array     # (C,) f32
 

@@ -177,8 +177,14 @@ def lms_nr_run_pallas(
     """
     c, n = x.shape
     chunk = min(chunk, n)
-    if n % chunk:
-        raise ValueError("n must be a multiple of chunk")
+    # shrink to a divisor of n (halving like pallas_sweep._even_chunks) so
+    # e.g. n=6144 with the 4096 default still runs (chunk 2048) instead of
+    # raising; only truly indivisible lengths are an error
+    while n % chunk and chunk > unroll:
+        chunk //= 2
+    if n % chunk or chunk % unroll:
+        raise ValueError(
+            f"n={n} has no chunk divisor that is a multiple of unroll={unroll}")
 
     # desired = 128-delayed stream; first block predicts itself
     shifted = jnp.concatenate([delay, x], axis=-1)[:, :n]

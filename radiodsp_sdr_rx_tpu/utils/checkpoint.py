@@ -61,7 +61,14 @@ def load_state(path: str, template):
     paths, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for p, tmpl in paths:
-        a = data[_path_str(p)]
+        key = _path_str(p)
+        if key not in data:
+            # version skew: state grew a field since this checkpoint was
+            # written (e.g. conv_tail_r/i) — resume with the template's
+            # (zero-initialised) leaf instead of an opaque KeyError
+            leaves.append(np.asarray(tmpl))
+            continue
+        a = data[key]
         leaves.append(a.astype(np.asarray(tmpl).dtype).reshape(np.shape(tmpl)))
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     config = None

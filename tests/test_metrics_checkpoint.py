@@ -1,6 +1,7 @@
 """Metrics pipeline + checkpoint/resume tests."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from radiodsp_sdr_rx_tpu.models.config import AGCMode, DemodMode, NRMode, ReceiverConfig
@@ -71,6 +72,45 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(np.asarray(restored.lms.weights),
                     np.asarray(state.lms.weights)):
         assert a == b
+
+
+def test_checkpoint_version_skew_missing_leaf(tmp_path):
+    """A checkpoint written before the state grew a field still loads.
+
+    Simulates an old .npz (ADVICE r2: pre-conv_tail checkpoints) by deleting
+    one leaf from a fresh save; load_state falls back to the template leaf.
+    """
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0)
+    rx = Receiver(cfg)
+    _, state = rx.process(
+        jnp.asarray(siggen.ssb_from_audio(
+            siggen.voice_like(1 << 13, FS), 10_000.0, FS, "usb", 0.4)),
+        rx.init_state())
+    path = str(tmp_path / "new.npz")
+    checkpoint.save_state(path, state, cfg)
+
+    data = dict(np.load(path))
+    dropped = [k for k in data if "tail" in k][0]
+    del data[dropped]
+    old_path = str(tmp_path / "old.npz")
+    np.savez(old_path, **data)
+
+    restored, cfg2 = checkpoint.load_state(old_path, rx.init_state())
+    assert cfg2 == cfg
+    # the missing leaf came from the (zero) template; the rest restored
+    template = rx.init_state()
+    flat_r = jax.tree_util.tree_flatten_with_path(restored)[0]
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(template)[0])
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(state)[0])
+    hit_dropped = False
+    for p, v in flat_r:
+        key = checkpoint._path_str(p)
+        if key == dropped:
+            hit_dropped = True
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(flat_t[p]))
+    assert hit_dropped
 
 
 def test_resume_is_exact(tmp_path):

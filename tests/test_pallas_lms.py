@@ -51,3 +51,22 @@ def test_notch_mode_and_chunk_invariance(rng):
             jnp.asarray(True), mu, mode="notch", chunk=chunk, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-4)
+
+
+def test_chunk_shrinks_to_divisor(rng):
+    """n not a multiple of the default chunk must still run (ADVICE r2).
+
+    n=6144 = 3*2048 is a multiple of 2048 but not of the 4096 default; the
+    runner shrinks chunk by halving until it divides n.
+    """
+    c, n = LANES, 6144
+    x = (rng.standard_normal((c, n)) * 0.3).astype(np.float32)
+    mu = 0.05
+    want, _ = _run_reference(jnp.asarray(x), mu, "denoise")
+    out, *_ = lms_nr_run_pallas(
+        jnp.asarray(x), jnp.zeros((c, lms.LMS_TAPS), jnp.float32),
+        jnp.zeros((c, lms.LMS_TAPS), jnp.float32),
+        jnp.zeros((c, lms.LMS_DELAY), jnp.float32),
+        jnp.asarray(True), mu, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=3e-4)

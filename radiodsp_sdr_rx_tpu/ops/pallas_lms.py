@@ -124,8 +124,122 @@ def _lms_kernel(x_ref, d_ref, mu_ref, w_ref, win_ref, y_ref, e_ref,
     win_out_ref[:] = win
 
 
+def _grouped_macro(tile, ds, w, mu, *, taps: int, group: int):
+    """One grouped macro step (exact algebra, v3).
+
+    tile: (taps+U, C) = [carried window | U new samples]; ds: (U, C) desired;
+    w: (taps, C). Returns (y (U, C), e (U, C), w').
+
+    Key structural wins over the paired form (_lms_kernel pairstep):
+
+      - the normalizer energies depend only on the INPUT (not on the error
+        recursion), so all U divides hoist out of the serial chain into ONE
+        vectorized reciprocal: invs = mu / (energies + eps);
+      - predictions y0_k = w_start . win_k for the whole group come from one
+        sliding-conv pass (taps static-slice FMAs over (U, C) tiles) — no
+        per-sample reduction trees on the critical path;
+      - the group's lag correlations r_{j,k} = win_j . win_k come from a
+        second sliding pass (r0[d] = win_0 . win_d, d=0 giving the energy
+        base) plus exact telescoped updates
+        r_{j,j+d} = r_{j-1,j-1+d} + a[taps+j]a[taps+j+d] - a[j]a[j+d];
+      - the exact-update identity y_k = w_start . win_k
+        + sum_{j<k} c_j (win_j . win_k) (same as the paired kernel, extended
+        to the group) leaves a serial chain of pure (1, C) row FMAs.
+
+    Rounding drift is bounded per macro step: energies and r0 are recomputed
+    fresh from the tile every group (no cross-group incremental state beyond
+    the weights/window themselves).
+    """
+    U = group
+    c = tile.shape[1]
+
+    # sliding passes: predictions and lag-0..U-1 correlations of win_0
+    r0 = jnp.zeros((U, c), jnp.float32)
+    preds = jnp.zeros((U, c), jnp.float32)
+    for i in range(taps):
+        sl = tile[1 + i:1 + i + U, :]                 # (U, C) static slice
+        r0 = r0 + tile[1 + i:2 + i, :] * sl
+        preds = preds + w[i:i + 1, :] * sl
+
+    # energies: energy_k = ||win_k||^2 = r0[0] + cumsum(sq[taps+i] - sq[i])
+    sq = tile * tile
+    if U > 1:
+        deltas = sq[taps + 1:taps + U, :] - sq[1:U, :]   # (U-1, C)
+        sh = 1
+        while sh < U - 1:
+            deltas = deltas + jnp.concatenate(
+                [jnp.zeros((sh, c), deltas.dtype), deltas[:-sh]], axis=0)
+            sh *= 2
+        energies = jnp.concatenate(
+            [jnp.zeros((1, c), jnp.float32), deltas], axis=0) + r0[0:1, :]
+    else:
+        energies = r0[0:1, :]
+    invs = mu / (energies + _EPS)                     # ONE vectorized divide
+
+    # r_{j, j+d} rows for every pair in the group (exact telescoped slide)
+    r = {}
+    for d in range(1, U):
+        cnt = U - d
+        base = r0[d:d + 1, :]
+        if cnt > 1:
+            q = (tile[taps + 1:taps + cnt, :]
+                 * tile[taps + 1 + d:taps + cnt + d, :]
+                 - tile[1:cnt, :] * tile[1 + d:cnt + d, :])   # (cnt-1, C)
+            sh = 1
+            while sh < cnt - 1:
+                q = q + jnp.concatenate(
+                    [jnp.zeros((sh, c), q.dtype), q[:-sh]], axis=0)
+                sh *= 2
+            rows = jnp.concatenate([base, base + q], axis=0)  # (cnt, C)
+        else:
+            rows = base
+        for j in range(cnt):
+            r[(j, j + d)] = rows[j:j + 1, :]
+
+    # serial chain: pure row FMAs (divides already hoisted)
+    y_rows = [preds[k:k + 1, :] for k in range(U)]
+    e_rows = []
+    c_rows = []
+    for k in range(U):
+        e_k = ds[k:k + 1, :] - y_rows[k]
+        c_k = e_k * invs[k:k + 1, :]
+        e_rows.append(e_k)
+        c_rows.append(c_k)
+        for l in range(k + 1, U):
+            y_rows[l] = y_rows[l] + c_k * r[(k, l)]
+
+    # one weight update per group: w' = w + sum_k c_k win_k
+    for k in range(U):
+        w = w + c_rows[k] * tile[k + 1:k + 1 + taps, :]
+
+    return (jnp.concatenate(y_rows, axis=0),
+            jnp.concatenate(e_rows, axis=0), w)
+
+
+def _lms_grouped_kernel(x_ref, d_ref, mu_ref, w_ref, win_ref, y_ref, e_ref,
+                        w_out_ref, win_out_ref, *, chunk: int, taps: int,
+                        group: int):
+    """Grouped (v3) LMS kernel body: see _grouped_macro."""
+    mu = mu_ref[0, 0]
+
+    def macro(m, carry):
+        w, win = carry
+        xs = x_ref[pl.ds(m * group, group), :]
+        ds = d_ref[pl.ds(m * group, group), :]
+        tile = jnp.concatenate([win, xs], axis=0)
+        y, e, w = _grouped_macro(tile, ds, w, mu, taps=taps, group=group)
+        y_ref[pl.ds(m * group, group), :] = y
+        e_ref[pl.ds(m * group, group), :] = e
+        return (w, tile[group:, :])
+
+    w, win = jax.lax.fori_loop(0, chunk // group, macro,
+                               (w_ref[:], win_ref[:]))
+    w_out_ref[:] = w
+    win_out_ref[:] = win
+
+
 def lms_chunk(x, d, mu, w, win, *, unroll: int = 16,
-              paired: bool = True, interpret: bool = False):
+              paired: bool = True, group: int = 0, interpret: bool = False):
     """Run one LMS chunk. x, d: (chunk, C) f32; w, win: (taps, C) f32.
 
     Returns (y (chunk, C), e (chunk, C), w', win').
@@ -134,10 +248,18 @@ def lms_chunk(x, d, mu, w, win, *, unroll: int = 16,
     taps = w.shape[0]
     if c != LANES:
         raise ValueError(f"channel axis must be {LANES} (pad)")
-    if chunk % unroll:
-        raise ValueError(f"chunk {chunk} must be a multiple of unroll {unroll}")
-    kernel = functools.partial(_lms_kernel, chunk=chunk, taps=taps,
-                               unroll=unroll, paired=paired)
+    if group:
+        if chunk % group:
+            raise ValueError(f"chunk {chunk} must be a multiple of "
+                             f"group {group}")
+        kernel = functools.partial(_lms_grouped_kernel, chunk=chunk,
+                                   taps=taps, group=group)
+    else:
+        if chunk % unroll:
+            raise ValueError(f"chunk {chunk} must be a multiple of "
+                             f"unroll {unroll}")
+        kernel = functools.partial(_lms_kernel, chunk=chunk, taps=taps,
+                                   unroll=unroll, paired=paired)
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
     y, e, w2, win2 = pl.pallas_call(
         kernel,
@@ -165,26 +287,30 @@ def lms_nr_run_pallas(
     chunk: int = 4096,
     unroll: int = 16,
     paired: bool = True,
+    group: int = 0,
     interpret: bool = False,
 ):
     """Multi-channel LMS over a stream segment via chunked Pallas calls.
 
     x: (C, n) f32 with C == 128 (pad otherwise); weights/window: (C, taps);
     delay: (C, LMS_DELAY) carry; first: bool (reference first-block quirk).
+    group > 0 selects the grouped v3 kernel (_grouped_macro) with that group
+    size (8/16 typical); 0 keeps the paired v2 kernel.
     Returns (out (C, n), weights', window', delay').
 
     Semantics match vmapped ops/lms.lms_nr_run over channels.
     """
     c, n = x.shape
     chunk = min(chunk, n)
+    gran = group if group else unroll   # sample granularity of the kernel
     # shrink to a divisor of n (halving like pallas_sweep._even_chunks) so
     # e.g. n=6144 with the 4096 default still runs (chunk 2048) instead of
     # raising; only truly indivisible lengths are an error
-    while n % chunk and chunk > unroll:
+    while n % chunk and chunk > gran:
         chunk //= 2
-    if n % chunk or chunk % unroll:
+    if n % chunk or chunk % gran:
         raise ValueError(
-            f"n={n} has no chunk divisor that is a multiple of unroll={unroll}")
+            f"n={n} has no chunk divisor that is a multiple of {gran}")
 
     # desired = 128-delayed stream; first block predicts itself
     shifted = jnp.concatenate([delay, x], axis=-1)[:, :n]
@@ -204,7 +330,8 @@ def lms_nr_run_pallas(
         w, win = carry
         xc, dc = inputs
         y, e, w2, win2 = lms_chunk(xc, dc, mu, w, win, unroll=unroll,
-                                   paired=paired, interpret=interpret)
+                                   paired=paired, group=group,
+                                   interpret=interpret)
         return (w2, win2), (y, e)
 
     (wf, winf), (ys, es) = jax.lax.scan(step, (w0, win0), (xs, ds))

@@ -53,6 +53,40 @@ def test_notch_mode_and_chunk_invariance(rng):
         np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-4)
 
 
+def test_grouped_v3_matches_scan_lms(rng):
+    """The grouped (v3) kernel is exact algebra: parity with the scan op."""
+    c, n = LANES, 2048
+    x = (rng.standard_normal((c, n)) * 0.3).astype(np.float32)
+    mu = 0.05
+    want, want_st = _run_reference(jnp.asarray(x), mu, "denoise")
+
+    for group in (4, 8, 16):
+        out, w2, win2, d2 = lms_nr_run_pallas(
+            jnp.asarray(x), jnp.zeros((c, lms.LMS_TAPS), jnp.float32),
+            jnp.zeros((c, lms.LMS_TAPS), jnp.float32),
+            jnp.zeros((c, lms.LMS_DELAY), jnp.float32),
+            jnp.asarray(True), mu, chunk=1024, group=group, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-4, err_msg=f"group={group}")
+        np.testing.assert_allclose(np.asarray(w2),
+                                   np.asarray(want_st.weights), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(d2),
+                                   np.asarray(want_st.delay), atol=0)
+
+    # notch (error) output too
+    want_n, _ = _run_reference(jnp.asarray(x), 0.02, "notch")
+    out_n, *_ = lms_nr_run_pallas(
+        jnp.asarray(x), jnp.zeros((c, lms.LMS_TAPS), jnp.float32),
+        jnp.zeros((c, lms.LMS_TAPS), jnp.float32),
+        jnp.zeros((c, lms.LMS_DELAY), jnp.float32),
+        jnp.asarray(True), 0.02, mode="notch", chunk=1024, group=8,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(want_n),
+                               atol=2e-4)
+
+
 def test_chunk_shrinks_to_divisor(rng):
     """n not a multiple of the default chunk must still run (ADVICE r2).
 

@@ -20,6 +20,13 @@ from radiodsp_sdr_rx_tpu.models.config import BOTTOM_FREQ, TOP_FREQ
 TUNING_STEPS = (1, 10, 100, 1_000, 10_000, 100_000, 1_000_000)
 MIN_TS = 1  # minimum step index after cycling (RDSP_controls.h:137 "10 Hz")
 
+# si5351.set_correction(33000) — the reference board's measured crystal error
+# in parts-per-billion (initVfo, RDSP_controls.h:433). The library pre-scales
+# the programmed PLL word so the physical output lands on target despite the
+# crystal error; the *uncorrected* synthesizer would emit
+# f * (1 + SI5351_CORRECTION_PPB/1e9).
+SI5351_CORRECTION_PPB = 33_000
+
 
 @dataclasses.dataclass
 class VFO:
@@ -65,7 +72,19 @@ class VFO:
         self._auto_step_down()
         return self.freq
 
-    def lo_clock_hz(self, tuning_offset: float = 0.0) -> float:
+    def lo_clock_hz(self, tuning_offset: float = 0.0,
+                    corrected: bool = True) -> float:
         """The Si5351 CLK0 frequency the reference would program: 4x quadrature
-        clock (sendFreq, RDSP_controls.h:445-448)."""
-        return 4.0 * (self.freq - tuning_offset)
+        clock (sendFreq: ``set_freq((vfoFreq - TuningOffset) * 400ULL)`` in
+        centi-Hz, RDSP_controls.h:445-448).
+
+        ``corrected=True`` (default) is the physical output after the library
+        applies the board's 33000 ppb crystal correction
+        (``set_correction(33000)``, RDSP_controls.h:433) — i.e. the target
+        itself. ``corrected=False`` models the raw synthesizer output an
+        uncorrected crystal would produce, for users replaying captures from
+        real QSD hardware who need the actual LO error."""
+        target = 4.0 * (self.freq - tuning_offset)
+        if corrected:
+            return target
+        return target * (1.0 + SI5351_CORRECTION_PPB * 1e-9)

@@ -106,6 +106,73 @@ def render_audio_spectrum_ascii(audio_bins: np.ndarray, height: int = 14) -> str
     return "\n".join(rows)
 
 
+def render_status_ascii(config, vfo=None, s_units: float | None = None,
+                        menu_level: int | None = None) -> str:
+    """Status-field header: frequency with the step-digit tuning cursor,
+    mode / filter / NR / AGC / step fields and the S-meter readout — the
+    ASCII stand-in for the reference's TFT text fields (showFreq
+    RDSP_controls.h:453-564; showMode/showFilter/showNR/showAGC/showStep
+    RDSP_display.h:74-190; S-meter text :329-364).
+
+    config: ReceiverConfig; vfo: VFO (step cursor; frequency falls back to
+    config.vfo_freq without it); s_units: displayPeak's S-value (9.0 == S9,
+    +10 dB over S9 -> 10.0 etc.); menu_level: highlight the active menu row
+    (RDSP_display.h menu-level marker).
+    """
+    freq = int(vfo.freq) if vfo is not None else int(config.vfo_freq)
+    # grouped digits, fixed 8-wide like the reference's 30 MHz ceiling
+    ftxt = f"{freq:>8d}"
+    grouped = ""
+    for i, ch in enumerate(ftxt):
+        grouped += ch
+        if (len(ftxt) - 1 - i) in (3, 6) and ch != " ":
+            grouped += "."
+    # red tuning cursor under the step digit (showFreq's cursor line,
+    # RDSP_controls.h:487-560): mark the digit the current step changes
+    cursor = " " * len(grouped)
+    if vfo is not None:
+        import math
+        digit = int(math.log10(vfo.step))         # 0 (1 Hz) .. 6 (1 MHz)
+        dots = sum(1 for j in (3, 6) if digit >= j)  # group dots right of it
+        gpos = len(grouped) - 1 - (digit + dots)
+        cursor = " " * gpos + "^" + " " * (len(grouped) - gpos - 1)
+    flt = config.effective_audio_filter
+    nr = config.nr.name if hasattr(config.nr, "name") else str(config.nr)
+    fields = [
+        f"{grouped} Hz",
+        f"[{config.mode.value}]",
+        f"FLT {flt.lo:.0f}-{flt.hi:.0f}",
+        f"NR:{nr}",
+        f"AGC:{config.agc.value.upper()}",
+    ]
+    if vfo is not None:
+        step = vfo.step
+        if step >= 1_000_000:
+            stxt = f"{step // 1_000_000}M"
+        elif step >= 1000:
+            stxt = f"{step // 1000}k"
+        else:
+            stxt = str(step)
+        fields.append(f"STEP {stxt}")
+    if s_units is not None:
+        if s_units <= 9.0:
+            fields.append(f"S{min(9, max(0, int(round(s_units))))}")
+        else:
+            fields.append(f"S9+{int(round(s_units - 9.0))}")
+    if menu_level is not None:
+        fields.append(f"MENU L{menu_level}")
+    line = "  ".join(fields)
+    return line + "\n" + cursor
+
+
+def render_spectrum_cursor(width: int = 128) -> str:
+    """The panadapter's red tuning-cursor column (Update_Panadapter's
+    vertical lines at the display center, RDSP_display.h:322-323): the tuned
+    frequency sits at the center bin of the +-22 kHz span."""
+    c = width // 2
+    return " " * (c - 1) + "│" + " " * (width - c)
+
+
 def render_double_spectrum_ascii(
     view: np.ndarray, audio_bins: np.ndarray, height: int = 14
 ) -> str:

@@ -82,7 +82,7 @@ def test_public_import_surface():
     assert pkg.SAMPLE_RATE == 44117.64706
 
 
-@pytest.mark.parametrize("fft_l", [1024, 2048])
+@pytest.mark.parametrize("fft_l", [1024, 2048, 4096])
 def test_fft_length_selectable(fft_l):
     """Backup sketch FFT_L range 256..4096 (RadioDSP_SDR_RX_Conv.ino:1371-1398)
     beyond the 512 case: end-to-end demod + exact streaming carry."""

@@ -203,7 +203,13 @@ class FusedNRBank:
     def __init__(self, config: ReceiverConfig, freqs_hz,
                  block_c: int = 8, block_t: int = 4096,
                  lms_chunk: int = 4096,
+                 fold: bool = True,
                  interpret: bool = False):
+        """``fold=True`` (default) runs NR stages folded INTO the single-sweep
+        kernel where a folded kernel exists (spectral:
+        ops/pallas_sweep_spec.sweep_spec_chain — one kernel, no extra HBM
+        round-trips); ``fold=False`` keeps the staged sweep+XLA pipeline
+        (also the parity oracle in tests/test_fused_bank.py)."""
         from radiodsp_sdr_rx_tpu.ops import lms as lms_ops
         from radiodsp_sdr_rx_tpu.ops.pallas_lms import LANES
 
@@ -251,6 +257,51 @@ class FusedNRBank:
             return out[:c], dict(lms_weights=w2, lms_window=win2,
                                  lms_delay=d2,
                                  lms_first=jnp.asarray(False))
+
+        fold_spectral = fold and kind == "spectral"
+        if fold_spectral:
+            from radiodsp_sdr_rx_tpu.ops.spectral_sub import spectral_matmul_ops
+            w_sf, w_si = spectral_matmul_ops(config.fft_length)
+            self._w_spec = (jnp.asarray(w_sf), jnp.asarray(w_si))
+            nr_level_static = float(config.nr.level)
+
+        def fn_spec_fold(state: FusedNRBankState, xr, xi, incs, w_ssb, w_pbt,
+                         dft_cos, dft_sin):
+            """Whole chain INCLUDING spectral subtraction in one kernel.
+            Gains fold in-kernel; sb_tail carries the RAW input's last block
+            (sweep-backend semantics, see FusedBankState)."""
+            from radiodsp_sdr_rx_tpu.ops.pallas_sweep_spec import (
+                sweep_spec_chain,
+            )
+
+            n = xr.shape[-1]
+            l, r, atail, env, nfloor, spec_l, spec_r = sweep_spec_chain(
+                xr, xi, incs, state.nco_phase, w_ssb, w_pbt,
+                self._w_spec[0], self._w_spec[1],
+                state.sb_tail[:, :128], state.sb_tail[:, 128:],
+                state.audio_tail, state.agc_env, state.nfloor,
+                state.spec_tail_l, state.spec_tail_r,
+                nr_level=nr_level_static,
+                agc_release=agc_params.release,
+                agc_target=agc_params.target,
+                agc_max_gain=agc_params.max_gain,
+                agc_enabled=bool(agc_params.enabled),
+                out_gain=float(out_gain),
+                block_c=block_c, chunk_t=block_t, interpret=interpret,
+                in_gain=float(in_gain), iq_balance=float(balance))
+            new_state = FusedNRBankState(
+                nco_phase=state.nco_phase
+                + jnp.asarray(n, jnp.uint32) * incs.astype(jnp.uint32),
+                sb_tail=jnp.concatenate([xr[:, -128:], xi[:, -128:]], axis=-1),
+                audio_tail=atail,
+                agc_env=env,
+                lms_weights=state.lms_weights,
+                lms_window=state.lms_window,
+                lms_delay=state.lms_delay,
+                lms_first=state.lms_first,
+                nfloor=nfloor, spec_tail_l=spec_l, spec_tail_r=spec_r,
+            )
+            return {"audio_l": l, "audio_r": r}, new_state
 
         def fn(state: FusedNRBankState, xr, xi, incs, w_ssb, w_pbt,
                dft_cos, dft_sin):
@@ -311,7 +362,7 @@ class FusedNRBank:
             )
             return {"audio_l": l * out_gain, "audio_r": r * out_gain}, new_state
 
-        self._fn = jax.jit(fn)
+        self._fn = jax.jit(fn_spec_fold if fold_spectral else fn)
 
     def init_state(self) -> FusedNRBankState:
         from radiodsp_sdr_rx_tpu.ops.lms import LMS_DELAY, LMS_TAPS

@@ -1,0 +1,545 @@
+"""Single-sweep chains with a channels-on-lanes adaptive stage folded in.
+
+The LMS noise reducer / auto-notch (ops/pallas_lms.py) and the SAM PLL
+(ops/pallas_sam.py) are per-sample recurrences that want **channels across
+the 128 VPU lanes**, while the streaming sweep skeleton (ops/pallas_sweep.py)
+wants **time across lanes**. Round 2 staged them as separate kernels with XLA
+transposes in between — 3-5 full HBM round-trips per sample on a
+bandwidth-bound chain (configs 3/4 at 0.8-0.9 Gs/s, docs/PERFORMANCE.md).
+
+This module folds them into ONE kernel by doing the layout change **inside
+VMEM on the MXU**: a (128, 128) tile transpose is a single matmul against the
+identity,
+
+    X^T = dot_general(X, I, contract dim0-with-dim0)   # out[m,i] = X[i,m]
+
+(~128 MACs/sample — noise next to the 512 MACs/sample filter matmul), so the
+whole chain runs per chunk as
+
+  2-slot DMA ring -> NCO mix -> overlap-save filter/demod (MXU) ->
+  [per-128-block MXU transpose -> adaptive stage on (time, C) scratch ->
+   MXU transpose back] -> AGC -> PBT -> output DMA
+
+with every carry (framing tails, AGC env, LMS weights/window/delay block,
+PLL phase/freq, DC blocker) living in VMEM across chunks. The channel axis is
+the full lane width: C == 128 (pad smaller banks), grid = (1,).
+
+Variants (static ``stage``):
+  - "denoise": reference DNR order — chain incl. AGC+PBT, then LMS predictor
+    output y, x1.1 makeup, mono (RDSP_convolutional.h:326-337). Emits L only.
+  - "notch":   ALS auto-notch BETWEEN demod and AGC (RDSP_controls.h:257-262)
+    — LMS error output e, then AGC -> PBT stereo.
+  - "sam":     synchronous-AM: full band-pass (512->256 matmul), PLL
+    (per-sample, lanes=channels), DC blocker, AGC, PBT stereo
+    (AudioSDR SAMmode, RDSP_controls.h:372-378).
+
+Parity: matches the staged FusedNRBank/FusedSAMBank paths (and therefore
+ReceiverBank) to f32 tolerance — tests/test_fused_bank.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radiodsp_sdr_rx_tpu.ops.lms import LMS_DELAY, _EPS
+from radiodsp_sdr_rx_tpu.ops.pallas_lms import _grouped_macro
+from radiodsp_sdr_rx_tpu.ops.pallas_sam import _atan2_poly
+from radiodsp_sdr_rx_tpu.ops.pallas_sweep import (
+    _PHASE_SCALE, _env_lanes, _env_rows, _even_chunks, _iir_lanes, _iir_rows,
+)
+
+LANES = 128
+_TWO_PI = float(2.0 * np.pi)
+
+
+def _transpose_mxu(x: jax.Array, ident: jax.Array) -> jax.Array:
+    """(128, 128) tile transpose as one MXU matmul: out[m, i] = x[i, m]."""
+    return jax.lax.dot_general(
+        x, ident, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _lanes_chain_kernel(
+    inc_ref, phase0_ref, tin_r_ref, tin_i_ref, atail_in_ref, env0_ref,
+    w_lms_in, win_lms_in, delay_in, flags_ref, dcx0_ref, dcy0_ref, pll0_ref,
+    xr_hbm, xi_hbm, w_ref, wpbt_ref, ident_ref,
+    l_hbm, r_hbm, atail_out_ref, env_out_ref,
+    w_lms_out, win_lms_out, delay_out, dcx_out_ref, dcy_out_ref, pll_out_ref,
+    buf_r, buf_i, buf_l, buf_ro, sem_r, sem_i, sem_l, sem_ro,
+    tail_r, tail_i, audio_tail, env_carry,
+    t_buf, d_buf, o_buf, lms_w, lms_win, lms_prev, dcx, dcy, pll_st, t_buf2,
+    *, chunk_nb: int, n_chunks: int, out_gain: float,
+    agc_release: float, agc_target: float, agc_max_gain: float,
+    agc_enabled: bool, stage: str, mu: float, group: int, taps: int,
+    dc_pole: float, pll_kp: float, pll_ki: float, pll_max_freq: float,
+    in_gain: float = 1.0, iq_balance: float = 1.0,
+):
+    """One kernel instance = the whole 128-channel bank, streaming time.
+
+    Refs by stage (unused ones are 1-element dummies):
+      lms ("denoise"/"notch"): w_lms/win_lms (taps, 128), delay (128, 128)
+        [the previous output block in (time, C) layout], flags (1,1) f32
+        first-block quirk.
+      "sam": dcx0/dcy0 (C, 1) per-channel DC-blocker carries
+        [last envelope input | last output], pll0 (2, 128) [phase | freq]
+        with channels on LANES (the PLL runs in (time, C) layout).
+    """
+    cb = LANES
+    chunk = chunk_nb * 128
+    lms = stage in ("denoise", "notch")
+    c0 = pl.program_id(0) * cb   # grid over 128-channel lane groups
+
+    def dma_in(slot, t):
+        return (
+            pltpu.make_async_copy(
+                xr_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                buf_r.at[slot], sem_r.at[slot]),
+            pltpu.make_async_copy(
+                xi_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                buf_i.at[slot], sem_i.at[slot]),
+        )
+
+    inc = inc_ref[:][:, :, None]
+    ph0 = phase0_ref[:][:, :, None]
+
+    g_i = np.float32(in_gain)
+    g_q = np.float32(in_gain * iq_balance)
+    scaled = not (in_gain == 1.0 and iq_balance == 1.0)
+
+    # mix the raw input tails (positions -128..-1) into the carried mixed tail
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (cb, 1, 128), 2)
+    ang_t = ((ph0 + (lane_t - 128) * inc).astype(jnp.float32) * _PHASE_SCALE)
+    ct, st_ = jnp.cos(ang_t), jnp.sin(ang_t)
+    tr_in = tin_r_ref[:][:, None, :]
+    ti_in = tin_i_ref[:][:, None, :]
+    if scaled:
+        tr_in = tr_in * g_i
+        ti_in = ti_in * g_q
+    tail_r[:] = (tr_in * ct + ti_in * st_)[:, 0, :]
+    tail_i[:] = (ti_in * ct - tr_in * st_)[:, 0, :]
+    audio_tail[:] = atail_in_ref[:]
+    env_carry[:] = jnp.broadcast_to(env0_ref[:], (cb, 128))
+    if lms:
+        lms_w[:] = w_lms_in[:]
+        lms_win[:] = win_lms_in[:]
+        lms_prev[:] = delay_in[:]
+    if stage == "sam":
+        dcx[:] = jnp.broadcast_to(dcx0_ref[:], (cb, 128))
+        dcy[:] = jnp.broadcast_to(dcy0_ref[:], (cb, 128))
+        pll_st[:] = pll0_ref[:]
+
+    d0r, d0i = dma_in(0, 0)
+    d0r.start()
+    d0i.start()
+
+    blk = jax.lax.broadcasted_iota(jnp.int32, (cb, chunk_nb, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cb, chunk_nb, 128), 2)
+    j_local = blk * 128 + lane
+    lane1 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2) + 1
+             ).astype(jnp.float32)
+    r_lane = jnp.exp(np.float32(np.log(agc_release)) * lane1) \
+        if agc_release < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
+    release128 = float(np.float64(agc_release) ** 128)
+    if stage == "sam":
+        p_lane = jnp.exp(np.float32(np.log(dc_pole)) * lane1) \
+            if dc_pole < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
+        pole128 = float(np.float64(dc_pole) ** 128)
+
+    def to_lanes(x3, out_ref):
+        """(128, nb, 128) value -> (nb*128 time, 128 ch) scratch via MXU."""
+        ident = ident_ref[:]
+        for j in range(chunk_nb):
+            out_ref[j * 128:(j + 1) * 128, :] = _transpose_mxu(
+                x3[:, j, :], ident)
+
+    def from_lanes(in_ref):
+        """(nb*128, 128 ch) scratch -> (128, nb, 128) value via MXU."""
+        ident = ident_ref[:]
+        blocks = [
+            _transpose_mxu(in_ref[j * 128:(j + 1) * 128, :], ident)[:, None, :]
+            for j in range(chunk_nb)
+        ]
+        return jnp.concatenate(blocks, axis=1)
+
+    def lms_stage(t):
+        """Grouped NLMS over t_buf (chunk, C); y->o_buf ("denoise") or
+        e->o_buf ("notch"). Desired = 128-sample-delayed stream
+        (RDSP_noise_reduction.h:66-80 semantics via ops/lms.py)."""
+        first = flags_ref[0, 0]
+        d_buf[0:128, :] = jnp.where(
+            jnp.logical_and(first > 0.5, t == 0),
+            t_buf[0:128, :], lms_prev[:])
+        if chunk > 128:
+            d_buf[128:chunk, :] = t_buf[0:chunk - 128, :]
+        lms_prev[:] = t_buf[chunk - 128:chunk, :]
+
+        def macro(m, carry):
+            w, win = carry
+            xs = t_buf[pl.ds(m * group, group), :]
+            ds = d_buf[pl.ds(m * group, group), :]
+            tile = jnp.concatenate([win, xs], axis=0)
+            y, e, w = _grouped_macro(tile, ds, w, np.float32(mu),
+                                     taps=taps, group=group)
+            o_buf[pl.ds(m * group, group), :] = y if stage == "denoise" else e
+            return (w, tile[group:, :])
+
+        w, win = jax.lax.fori_loop(0, chunk // group, macro,
+                                   (lms_w[:], lms_win[:]))
+        lms_w[:] = w
+        lms_win[:] = win
+
+    def sam_stage():
+        """Second-order PLL over t_buf/t_buf2 = (chunk, C) zr/zi; in-phase
+        product -> o_buf. Constants per ops/demod.demod_sam."""
+        def body(n, carry):
+            phase, freq = carry                    # (128,)
+            zr = t_buf[n, :]
+            zi = t_buf2[n, :]
+            cr = jnp.cos(phase)
+            ci = jnp.sin(phase)
+            vr = zr * cr + zi * ci
+            vi = zi * cr - zr * ci
+            err = _atan2_poly(vi, vr)
+            freq = jnp.clip(freq + np.float32(pll_ki) * err,
+                            -np.float32(pll_max_freq),
+                            np.float32(pll_max_freq))
+            phase = jnp.mod(phase + freq + np.float32(pll_kp) * err,
+                            np.float32(_TWO_PI))
+            o_buf[n, :] = vr
+            return (phase, freq)
+
+        phase, freq = jax.lax.fori_loop(
+            0, chunk, body, (pll_st[0, :], pll_st[1, :]))
+        pll_st[0, :] = phase
+        pll_st[1, :] = freq
+
+    def agc_block(audio):
+        run_e = _env_lanes(jnp.abs(audio), agc_release)
+        seq_e = jnp.concatenate(
+            [env_carry[:][:, 0:1], run_e[:, :-1, 127]], axis=1)
+        carry_e = _env_rows(seq_e, release128)
+        envl = jnp.maximum(run_e, carry_e[:, :, None] * r_lane)
+        env_carry[:] = jnp.broadcast_to(
+            envl[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+        if not agc_enabled:
+            return audio
+        gain = jnp.minimum(
+            np.float32(agc_target) / jnp.maximum(envl, np.float32(1e-12)),
+            np.float32(agc_max_gain))
+        return audio * gain
+
+    def pbt_block(audio_g):
+        prev_a = jnp.concatenate(
+            [audio_tail[:][:, None, :], audio_g[:, :-1, :]], axis=1)
+        frames2 = jnp.concatenate([prev_a, audio_g], axis=-1)
+        lr = jax.lax.dot_general(
+            frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(cb, chunk_nb, 256)
+        audio_tail[:] = audio_g[:, chunk_nb - 1, :]
+        return lr
+
+    def process(t, slot: int):
+        @pl.when(t + 1 < n_chunks)
+        def _():
+            nr, ni = dma_in(1 - slot, t + 1)
+            nr.start()
+            ni.start()
+
+        cr, ci = dma_in(slot, t)
+        cr.wait()
+        ci.wait()
+
+        # ---- NCO mix ----
+        phase = ph0 + (t * (chunk_nb * 128) + j_local) * inc
+        ang = phase.astype(jnp.float32) * _PHASE_SCALE
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        xr = buf_r[slot]
+        xi = buf_i[slot]
+        if scaled:
+            xr = xr * g_i
+            xi = xi * g_q
+        br = xr * c + xi * s
+        bi = xi * c - xr * s
+
+        # ---- overlap-save filter (+ fused SSB demod unless SAM) ----
+        prev_r = jnp.concatenate([tail_r[:][:, None, :], br[:, :-1, :]], axis=1)
+        prev_i = jnp.concatenate([tail_i[:][:, None, :], bi[:, :-1, :]], axis=1)
+        frames = jnp.concatenate([prev_r, br, prev_i, bi], axis=-1)
+        w_out = 256 if stage == "sam" else 128
+        y = jax.lax.dot_general(
+            frames.reshape(cb * chunk_nb, 512), w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(cb, chunk_nb, w_out)
+        tail_r[:] = br[:, chunk_nb - 1, :]
+        tail_i[:] = bi[:, chunk_nb - 1, :]
+
+        if stage == "sam":
+            # band-passed planar IQ -> lanes, PLL, back, then DC blocker
+            to_lanes(y[..., :128], t_buf)
+            to_lanes(y[..., 128:], t_buf2)
+            sam_stage()
+            env = from_lanes(o_buf)
+            # DC blocker y[n] = env[n]-env[n-1] + pole*y[n-1] as decaying-sum
+            # doubling scan (same construction as pallas_sweep AM demod)
+            shifted = jnp.concatenate(
+                [jnp.zeros((cb, chunk_nb, 1), env.dtype), env[..., :-1]],
+                axis=-1)
+            row_prev = jnp.concatenate(
+                [dcx[:][:, 0:1], env[:, :-1, 127]], axis=1)   # (cb, nb)
+            lane0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+                     == 0).astype(env.dtype)
+            diff = env - (shifted + row_prev[:, :, None] * lane0)
+            run = _iir_lanes(diff, dc_pole)
+            seq = jnp.concatenate(
+                [dcy[:][:, 0:1], run[:, :-1, 127]], axis=1)
+            carry_in = _iir_rows(seq, pole128)
+            audio = run + carry_in[:, :, None] * p_lane
+            dcx[:] = jnp.broadcast_to(
+                env[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+            dcy[:] = jnp.broadcast_to(
+                audio[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+            audio_g = agc_block(audio)
+            lr = pbt_block(audio_g)
+            out_l = lr[..., :128]
+            out_r = lr[..., 128:]
+        elif stage == "notch":
+            to_lanes(y, t_buf)
+            lms_stage(t)
+            audio = from_lanes(o_buf)
+            audio_g = agc_block(audio)
+            lr = pbt_block(audio_g)
+            out_l = lr[..., :128]
+            out_r = lr[..., 128:]
+        else:  # denoise: AGC -> PBT -> LMS(y) -> x1.1, mono
+            audio_g = agc_block(y)
+            lr = pbt_block(audio_g)
+            to_lanes(lr[..., :128], t_buf)
+            lms_stage(t)
+            out_l = from_lanes(o_buf) * np.float32(1.1)
+            out_r = None
+
+        buf_l[slot] = out_l * out_gain
+        dl = pltpu.make_async_copy(
+            buf_l.at[slot],
+            l_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+            sem_l.at[slot])
+        dl.start()
+        if out_r is not None:
+            buf_ro[slot] = out_r * out_gain
+            dr = pltpu.make_async_copy(
+                buf_ro.at[slot],
+                r_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                sem_ro.at[slot])
+            dr.start()
+            dr.wait()
+        dl.wait()
+
+    def body(u, _):
+        process(2 * u, 0)
+        process(2 * u + 1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks // 2, body, 0)
+    if n_chunks % 2:
+        process(n_chunks - 1, 0)
+
+    atail_out_ref[:] = audio_tail[:]
+    env_out_ref[:] = env_carry[:]
+    if lms:
+        w_lms_out[:] = lms_w[:]
+        win_lms_out[:] = lms_win[:]
+        delay_out[:] = lms_prev[:]
+    else:
+        w_lms_out[:] = jnp.zeros_like(w_lms_out)
+        win_lms_out[:] = jnp.zeros_like(win_lms_out)
+        delay_out[:] = jnp.zeros_like(delay_out)
+    if stage == "sam":
+        dcx_out_ref[:] = dcx[:]
+        dcy_out_ref[:] = dcy[:]
+        pll_out_ref[:] = pll_st[:]
+    else:
+        dcx_out_ref[:] = jnp.zeros_like(dcx_out_ref)
+        dcy_out_ref[:] = jnp.zeros_like(dcy_out_ref)
+        pll_out_ref[:] = jnp.zeros_like(pll_out_ref)
+
+
+def sweep_lanes_chain(
+    xr: jax.Array,
+    xi: jax.Array,
+    inc: jax.Array,
+    phase0: jax.Array,
+    w: jax.Array,
+    w_pbt: jax.Array,
+    tail_r: jax.Array,
+    tail_i: jax.Array,
+    audio_tail: jax.Array,
+    env0: jax.Array,
+    *,
+    stage: str,
+    agc_release: float,
+    agc_target: float,
+    agc_max_gain: float,
+    agc_enabled: bool = True,
+    out_gain: float = 1.0,
+    chunk_t: int = 1024,
+    interpret: bool = False,
+    in_gain: float = 1.0,
+    iq_balance: float = 1.0,
+    # lms ("denoise"/"notch")
+    lms_weights: jax.Array | None = None,   # (taps, 128)
+    lms_window: jax.Array | None = None,    # (taps, 128)
+    lms_delay_block: jax.Array | None = None,  # (128, 128) (time, C)
+    lms_first: jax.Array | None = None,     # () bool
+    mu: float = 0.0,
+    group: int = 16,
+    # sam
+    dc0: jax.Array | None = None,           # (C, 2) [env_prev, y_prev]/chan
+    pll0: jax.Array | None = None,          # (2, 128) [phase | freq] on lanes
+    dc_pole: float = 0.995,
+    pll_bw_hz: float = 100.0,
+    sample_rate: float = 44117.64706,
+):
+    """Whole 128-lane receive chain with the adaptive stage folded in.
+
+    All channel-axis operands must be the full lane width (C == 128; pad
+    smaller banks — zero channels adapt to zero). Returns
+    (audio_l, audio_r_or_None, audio_tail', env', lms_w', lms_win',
+    lms_delay_block', dc', pll') — unused state slots return zeros.
+    """
+    if stage not in ("denoise", "notch", "sam"):
+        raise ValueError(stage)
+    c, n = xr.shape
+    if c % LANES:
+        raise ValueError(f"channel axis must be a multiple of {LANES} (pad); "
+                         f"got {c}")
+    inc = jax.lax.bitcast_convert_type(jnp.asarray(inc, jnp.uint32), jnp.int32)
+    phase0 = jax.lax.bitcast_convert_type(jnp.asarray(phase0, jnp.uint32),
+                                          jnp.int32)
+    chunk_t = _even_chunks(n, chunk_t)
+    chunk_nb = chunk_t // 128
+    n_chunks = n // chunk_t
+    lms = stage in ("denoise", "notch")
+    taps = int(lms_weights.shape[0]) if lms else 8
+    if lms and chunk_t % group:
+        raise ValueError(f"chunk_t {chunk_t} not a multiple of group {group}")
+
+    wn = 2.0 * np.pi * pll_bw_hz / sample_rate
+    kp = float(2.0 * 0.70710678 * wn)
+    ki = float(wn * wn)
+    max_freq = float(2.0 * np.pi * 2000.0 / sample_rate)
+
+    x3r = xr.reshape(c, n // 128, 128)
+    x3i = xi.reshape(c, n // 128, 128)
+    w_out = 256 if stage == "sam" else 128
+    emit_r = stage != "denoise"
+
+    if lms:
+        w_in = jnp.asarray(lms_weights, jnp.float32)
+        win_in = jnp.asarray(lms_window, jnp.float32)
+        dly_in = jnp.asarray(lms_delay_block, jnp.float32)
+        flags = jnp.asarray(lms_first, jnp.float32).reshape(1, 1)
+    else:
+        w_in = jnp.zeros((taps, c), jnp.float32)
+        win_in = jnp.zeros((taps, c), jnp.float32)
+        dly_in = jnp.zeros((128, c), jnp.float32)
+        flags = jnp.zeros((1, 1), jnp.float32)
+    dc_in = (jnp.asarray(dc0, jnp.float32) if stage == "sam"
+             else jnp.zeros((c, 2), jnp.float32))
+    pll_in = (jnp.asarray(pll0, jnp.float32) if stage == "sam"
+              else jnp.zeros((2, c), jnp.float32))
+
+    kernel = functools.partial(
+        _lanes_chain_kernel, chunk_nb=chunk_nb, n_chunks=n_chunks,
+        out_gain=float(out_gain), agc_release=float(agc_release),
+        agc_target=float(agc_target), agc_max_gain=float(agc_max_gain),
+        agc_enabled=bool(agc_enabled), stage=stage, mu=float(mu),
+        group=int(group), taps=taps, dc_pole=float(dc_pole),
+        pll_kp=kp, pll_ki=ki, pll_max_freq=max_freq,
+        in_gain=float(in_gain), iq_balance=float(iq_balance))
+
+    def cspec(rows):
+        """Per-lane-group block on the channel (first) axis."""
+        return pl.BlockSpec((rows, 128), lambda ci: (ci, 0),
+                            memory_space=pltpu.VMEM)
+
+    def lspec(rows):
+        """Per-lane-group block on the lane (second) axis."""
+        return pl.BlockSpec((rows, LANES), lambda ci: (0, ci),
+                            memory_space=pltpu.VMEM)
+
+    def shared(shape):
+        return pl.BlockSpec(shape, lambda ci: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    col = pl.BlockSpec((LANES, 1), lambda ci: (ci, 0),
+                       memory_space=pltpu.VMEM)
+    ident = jnp.eye(128, dtype=jnp.float32)
+    buf = pltpu.VMEM((2, LANES, chunk_nb, 128), jnp.float32)
+    buf_ro = buf if emit_r else pltpu.VMEM((2, 1, 1, 128), jnp.float32)
+    r_blocks = n // 128 if emit_r else 1
+    sem = pltpu.SemaphoreType.DMA((2,))
+    cvec = pltpu.VMEM((LANES, 128), jnp.float32)
+    tchunk = pltpu.VMEM((chunk_t, 128), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(c // LANES,),
+        in_specs=[
+            col, col,
+            cspec(LANES), cspec(LANES), cspec(LANES), col,
+            lspec(taps), lspec(taps), lspec(128),
+            shared((1, 1)), col, col, lspec(2),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            shared((512, w_out)), shared((256, 256)), shared((128, 128)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            cspec(LANES), cspec(LANES),
+            lspec(taps), lspec(taps), lspec(128),
+            cspec(LANES), cspec(LANES), lspec(2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, n // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, r_blocks, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((taps, c), jnp.float32),
+            jax.ShapeDtypeStruct((taps, c), jnp.float32),
+            jax.ShapeDtypeStruct((128, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((2, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            buf, buf, buf, buf_ro, sem, sem, sem, sem,
+            cvec, cvec, cvec, cvec,
+            tchunk, tchunk, tchunk,
+            pltpu.VMEM((taps, 128), jnp.float32),
+            pltpu.VMEM((taps, 128), jnp.float32),
+            pltpu.VMEM((128, 128), jnp.float32),
+            cvec, cvec,
+            pltpu.VMEM((2, 128), jnp.float32),
+            tchunk,
+        ],
+        interpret=interpret,
+    )(inc[:, None], phase0[:, None], tail_r, tail_i, audio_tail,
+      jnp.asarray(env0, jnp.float32)[:, None],
+      w_in, win_in, dly_in, flags, dc_in[:, 0:1], dc_in[:, 1:2], pll_in,
+      x3r, x3i, w, w_pbt, ident)
+    (audio_l, audio_r, atail, env_out, w_out_a, win_out, dly_out,
+     dcx_out, dcy_out, pll_out) = outs
+    audio_l = audio_l.reshape(c, n)
+    audio_r = audio_r.reshape(c, n) if emit_r else None
+    dc_next = jnp.stack([dcx_out[:, 0], dcy_out[:, 0]], axis=-1)
+    return (audio_l, audio_r, atail, env_out[:, 0],
+            w_out_a, win_out, dly_out, dc_next, pll_out)

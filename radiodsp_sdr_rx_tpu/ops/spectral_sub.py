@@ -27,13 +27,42 @@ per-bin form above.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 VAD_START_BIN = 30   # STATING_BIN_VAD_ANALISYS (RDSP_convolutional_spec.h:34)
 VAD_END_BIN = 180    # ENDING_BIN_VAD_ANALISYS (RDSP_convolutional_spec.h:35)
 FLOOR_BETA = 0.65    # one-pole floor tracking (RDSP_convolutional_spec.h:114)
 UNDER_FLOOR_GAIN = 0.2  # below-floor attenuation (RDSP_convolutional_spec.h:214)
+
+
+@functools.lru_cache(maxsize=4)
+def spectral_matmul_ops(n: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    """Planar DFT / right-half-iDFT collapsed into two MXU operators for the
+    in-kernel spectral stage (ops/pallas_sweep_spec.py).
+
+    Forward (z = L + jR per the reference frame layout,
+    RDSP_convolutional_spec.h:158-175):
+        [fl | fr] (., 2n) @ W_fwd (2n, 2n) = [sr | si]
+        with sr = fl@C + fr@S, si = fr@C - fl@S  (C/S = cos/sin DFT matrices)
+    Inverse, right overlap-save half only (:243-252):
+        [sr' | si'] @ W_inv (2n, n) = [yl_right | yr_right]
+        with yl = (sr'@C - si'@S)/n, yr = (si'@C + sr'@S)/n, columns n/2..n.
+
+    Built once on host in float64, emitted f32.
+    """
+    k = np.arange(n)
+    w = 2.0 * np.pi * np.outer(k, k) / n
+    c = np.cos(w)
+    s = np.sin(w)
+    w_fwd = np.block([[c, -s], [s, c]]).astype(np.float32)
+    cr = c[:, n // 2:] / n
+    sr_ = s[:, n // 2:] / n
+    w_inv = np.block([[cr, sr_], [-sr_, cr]]).astype(np.float32)
+    return w_fwd, w_inv
 
 
 def spectral_subtract_frames(

@@ -172,6 +172,20 @@ class ReceiverConfig:
     # (src/backup/RadioDSP_SDR_RX_Conv.ino:183-191); the audio band-pass runs
     # as a complex BPF on post-mix IQ and the post-demod PBT stage is skipped
     conv_first: bool = False
+    # Automatic I2S-misalignment detection + repair: the reference enables it
+    # unconditionally at boot (preProcessor.startAutoI2SerrorDetection(),
+    # RadioDSP_SDR_RX.ino:117). When True, the Receiver detects the best of
+    # {identity, swap I/Q, delay I, delay Q} on the FIRST processed segment
+    # (host-side spectral-asymmetry scoring, ops/preprocessor.py) and applies
+    # that repair — locked, streaming-safe — to every subsequent segment. The
+    # CLI appliance surfaces default it ON for reference parity; library
+    # default is off (single-stream Receiver/StreamingReceiver only).
+    auto_iq_repair: bool = False
+    # Manual I/Q swap — preProcessor.swapIQ(...), present-but-commented in the
+    # reference boot (RadioDSP_SDR_RX.ino:118). A swap mirrors the spectrum,
+    # which spectral-asymmetry detection cannot distinguish from aligned, so
+    # like the reference this stays a manual option.
+    swap_iq: bool = False
     # MXU matmul precision for the collapsed overlap-save / DFT operators:
     # "highest" (full f32, default — matches the reference's f32 CMSIS math),
     # "high" (3-pass bf16), "bf16" (1-pass bf16 — fastest; measured SNR delta

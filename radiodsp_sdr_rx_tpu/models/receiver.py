@@ -472,6 +472,31 @@ class Receiver:
             matmul_precision=config.matmul_precision,
         )
         self._fn = jax.jit(lambda p, s, xr, xi: rx_chain(p, s, xr, xi, **statics))
+        # auto I2S repair (preProcessor.startAutoI2SerrorDetection,
+        # RadioDSP_SDR_RX.ino:117): detected on the first segment, then locked
+        self._repair_idx: int | None = None
+        self._repair_carry = None
+
+    def _maybe_repair(self, xr, xi):
+        if self.config.swap_iq:          # manual swap (ino:118, swapIQ)
+            xr, xi = xi, xr
+        if not self.config.auto_iq_repair:
+            return xr, xi
+        from radiodsp_sdr_rx_tpu.ops.preprocessor import (
+            apply_repair_planar_host, detect_iq_error_host,
+        )
+
+        if self._repair_idx is None:
+            self._repair_idx = detect_iq_error_host(xr, xi)
+        xr, xi, self._repair_carry = apply_repair_planar_host(
+            xr, xi, self._repair_idx, self._repair_carry)
+        return xr, xi
+
+    @property
+    def iq_repair_idx(self) -> int | None:
+        """Locked I2S repair (0 identity, 1 swap, 2 delay-I, 3 delay-Q);
+        None until the first segment is processed."""
+        return self._repair_idx
 
     def init_state(self) -> ReceiverState:
         return init_state(self.config.fft_length)
@@ -493,14 +518,18 @@ class Receiver:
             new_rx.config = new_config
             new_rx.params = build_params(new_config)
             new_rx._fn = self._fn
+            new_rx._repair_idx = self._repair_idx    # locked repair survives
+            new_rx._repair_carry = self._repair_carry
             return new_rx
         return Receiver(new_config)
 
     def process(self, iq, state: ReceiverState):
         xr, xi = _split_planar(iq)
+        xr, xi = self._maybe_repair(xr, xi)
         return self._fn(self.params, state, xr, xi)
 
     def process_planar(self, xr, xi, state: ReceiverState):
+        xr, xi = self._maybe_repair(xr, xi)
         return self._fn(self.params, state, xr, xi)
 
 

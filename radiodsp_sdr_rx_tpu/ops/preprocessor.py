@@ -68,6 +68,72 @@ def repair_iq(iq: jax.Array, repair_idx) -> jax.Array:
     return _candidates(iq)[repair_idx]
 
 
+def detect_iq_error_host(xr, xi) -> int:
+    """Host-side (NumPy) slip detector over planar f32 — the boot-time analog
+    of ``startAutoI2SerrorDetection`` (RadioDSP_SDR_RX.ino:117). Runs once per
+    stream on the first segment; the result is locked and applied to every
+    subsequent segment (the reference detects at startup, then the repair is
+    fixed).
+
+    Candidates are {identity, delay I, delay Q} — the I2S one-sample-slip
+    error classes the reference auto-detects. An I/Q *swap* is NOT detectable
+    by spectral asymmetry (swapping mirrors the spectrum, which is exactly as
+    asymmetric), and the reference treats it as a manual option too: the
+    ``preProcessor.swapIQ(...)`` call is present but commented out
+    (RadioDSP_SDR_RX.ino:118) — use ``ReceiverConfig.swap_iq``. Host NumPy
+    because the deployment TPU runtime rejects complex-typed programs
+    (ops/planar.py) and detection is control-plane, not hot-path.
+
+    Returns 0 (aligned), 2 (delay I), or 3 (delay Q) — apply_repair indices.
+    """
+    import numpy as np
+
+    xr = np.asarray(xr, np.float32)
+    xi = np.asarray(xi, np.float32)
+
+    def delay1(x):
+        return np.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+
+    cands = {
+        0: xr + 1j * xi,
+        2: delay1(xr) + 1j * xi,
+        3: xr + 1j * delay1(xi),
+    }
+    best, best_score = 0, -1.0
+    for idx, z in cands.items():
+        spec = np.fft.fft(z, axis=-1)
+        n = spec.shape[-1]
+        pos = np.sum(np.abs(spec[..., 1: n // 2]) ** 2, axis=-1)
+        neg = np.sum(np.abs(spec[..., n // 2 + 1:]) ** 2, axis=-1)
+        score = float(np.mean(np.abs(pos - neg) / (pos + neg + 1e-12)))
+        if score > best_score:
+            best, best_score = idx, score
+    return best
+
+
+def apply_repair_planar_host(xr, xi, idx: int, carry=None):
+    """Apply a locked repair index to one planar segment, streaming-safe.
+
+    carry: (last_i, last_q) of the previous RAW segment (None at stream
+    start — delay repairs then replicate the first sample, matching
+    ``_candidates``). Returns (xr', xi', new_carry).
+    """
+    import numpy as np
+
+    xr = np.asarray(xr, np.float32)
+    xi = np.asarray(xi, np.float32)
+    new_carry = (xr[..., -1:].copy(), xi[..., -1:].copy())
+    ci = carry[0] if carry is not None else xr[..., :1]
+    cq = carry[1] if carry is not None else xi[..., :1]
+    if idx == 1:                                   # swap I/Q
+        xr, xi = xi, xr
+    elif idx == 2:                                 # delay I one sample
+        xr = np.concatenate([ci, xr[..., :-1]], axis=-1)
+    elif idx == 3:                                 # delay Q one sample
+        xi = np.concatenate([cq, xi[..., :-1]], axis=-1)
+    return xr, xi, new_carry
+
+
 def preprocess(
     iq: jax.Array,
     gain_balance: float = IQ_GAIN_BALANCE_DEFAULT,

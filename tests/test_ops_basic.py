@@ -195,3 +195,87 @@ def test_iq_error_detect_and_repair(fault):
     )
     asym = float(preprocessor.spectral_asymmetry(fixed))
     assert asym > 0.95
+
+
+def _sir_1k_vs_2k(audio):
+    """Signal (1 kHz wanted) to interference (2 kHz image leak) ratio, dB."""
+    a = np.asarray(audio)[4000:]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+    freqs = np.fft.rfftfreq(len(a), 1 / FS)
+    sig = spec[np.abs(freqs - 1000.0) < 40.0].sum()
+    imq = spec[np.abs(freqs - 2000.0) < 40.0].sum()
+    return 10 * np.log10(sig / max(imq, 1e-30))
+
+
+@pytest.mark.parametrize("fault", [2, 3])
+def test_auto_iq_repair_end_to_end(fault):
+    """Live-path wiring of the reference's boot-time I2S slip repair
+    (startAutoI2SerrorDetection, RadioDSP_SDR_RX.ino:117): a one-sample
+    I2S slip breaks quadrature and lets a strong image-frequency carrier
+    leak into the channel; auto_iq_repair=True detects the slip on the
+    first segment, locks it, and restores image rejection — streaming-
+    consistent across segments."""
+    from radiodsp_sdr_rx_tpu.models.config import (
+        AGCMode, DemodMode, ReceiverConfig,
+    )
+    from radiodsp_sdr_rx_tpu.models.receiver import Receiver
+
+    n = 1 << 15
+    audio_in = np.sin(2 * np.pi * 1000.0 * np.arange(n) / FS)
+    iq = siggen.ssb_from_audio(audio_in, 10_000.0, FS, "usb", amp=0.2)
+    # strong carrier at -12 kHz: under a slip it leaks to +12 kHz, which
+    # demodulates to an in-channel 2 kHz tone (vfo at center + 10 kHz)
+    iq = iq + siggen.carrier(n, -12_000.0, FS, amp=0.6)
+    iq = (iq + siggen.noise(n, 0.002)).astype(np.complex64)
+    if fault == 2:   # I advanced one sample -> repair = delay I
+        i2 = np.concatenate([iq.real[1:], iq.real[-1:]])
+        corrupted = (i2 + 1j * iq.imag).astype(np.complex64)
+    else:            # Q advanced one sample -> repair = delay Q
+        q2 = np.concatenate([iq.imag[1:], iq.imag[-1:]])
+        corrupted = (iq.real + 1j * q2).astype(np.complex64)
+
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, agc=AGCMode.OFF)
+    rx_off = Receiver(cfg)
+    out_bad, _ = rx_off.process(corrupted, rx_off.init_state())
+    rx_on = Receiver(cfg.with_(auto_iq_repair=True))
+    st = rx_on.init_state()
+    out1, st = rx_on.process(corrupted[: n // 2], st)
+    out2, _ = rx_on.process(corrupted[n // 2:], st)
+    fixed = np.concatenate([np.asarray(out1["audio_l"]),
+                            np.asarray(out2["audio_l"])])
+    assert rx_on.iq_repair_idx == fault
+    sir_bad = _sir_1k_vs_2k(out_bad["audio_l"])
+    sir_fixed = _sir_1k_vs_2k(fixed)
+    assert sir_fixed > sir_bad + 15.0, (sir_bad, sir_fixed)
+    assert sir_fixed > 30.0
+
+    # streaming consistency: split processing == one-shot processing
+    rx_once = Receiver(cfg.with_(auto_iq_repair=True))
+    out_full, _ = rx_once.process(corrupted, rx_once.init_state())
+    np.testing.assert_allclose(fixed, np.asarray(out_full["audio_l"]),
+                               atol=1e-5)
+
+
+def test_manual_swap_iq():
+    """preProcessor.swapIQ as a manual config (the reference ships the call
+    commented out, RadioDSP_SDR_RX.ino:118): demodulating a swapped capture
+    with swap_iq=True reproduces the clean capture's output exactly."""
+    from radiodsp_sdr_rx_tpu.models.config import (
+        AGCMode, DemodMode, ReceiverConfig,
+    )
+    from radiodsp_sdr_rx_tpu.models.receiver import Receiver
+
+    n = 1 << 14
+    audio_in = np.sin(2 * np.pi * 1000.0 * np.arange(n) / FS)
+    iq = siggen.ssb_from_audio(audio_in, 10_000.0, FS, "usb", amp=0.4)
+    swapped = (iq.imag + 1j * iq.real).astype(np.complex64)
+
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, agc=AGCMode.OFF)
+    rx = Receiver(cfg)
+    out_clean, _ = rx.process(iq.astype(np.complex64), rx.init_state())
+    rx_sw = Receiver(cfg.with_(swap_iq=True))
+    out_fixed, _ = rx_sw.process(swapped, rx_sw.init_state())
+    np.testing.assert_allclose(np.asarray(out_fixed["audio_l"]),
+                               np.asarray(out_clean["audio_l"]), atol=1e-6)

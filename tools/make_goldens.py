@@ -90,6 +90,19 @@ def envelope_corr(out: np.ndarray, env_ref: np.ndarray, fs: float,
     return float(np.dot(y, r) / (np.linalg.norm(y) * np.linalg.norm(r) + 1e-30))
 
 
+def heterodyne_db(out: np.ndarray, het_hz: float, fs: float,
+                  skip: int = 4000, width_hz: float = 30.0,
+                  band=(300.0, 2800.0)) -> float:
+    """Residual heterodyne power at ``het_hz`` relative to the mean voice-band
+    PSD, in dB (0 dB == the tone is level with the speech floor)."""
+    a = np.asarray(out, np.float64)[skip:]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+    freqs = np.fft.rfftfreq(len(a), 1 / fs)
+    tone = spec[np.abs(freqs - het_hz) < width_hz].max()
+    voice = spec[(freqs >= band[0]) & (freqs <= band[1])]
+    return float(10.0 * np.log10(tone / max(voice.mean(), 1e-30)))
+
+
 def build_cases(n: int = 1 << 16):
     """The three golden scenes -> (name, cfg, iq, metrics_fn)."""
     from radiodsp_sdr_rx_tpu.models.config import (
@@ -132,6 +145,19 @@ def build_cases(n: int = 1 << 16):
     cases.append(("qrm_usb_spec2", cfgq, iqq,
                   lambda audio: {"snr_db": aligned_snr_db(
                       audio, truthq["audio"])}))
+
+    # notch-under-QRM: the ALS auto-notch (RDSP_controls.h:257-262) against
+    # the scene's in-passband heterodyne. Quality metrics: aligned SNR and
+    # heterodyne rejection (power at het_offset relative to the voice band).
+    cfgn = ReceiverConfig(
+        mode=DemodMode.USB, vfo_freq=truthq["station_freq"],
+        capture_center_freq=truthq["center"], agc=AGCMode.OFF,
+        nr=NRMode.NOTCH)
+    het = truthq["het_offset_hz"]
+    cases.append(("qrm_usb_notch", cfgn, iqq,
+                  lambda audio: {
+                      "snr_db": aligned_snr_db(audio, truthq["audio"]),
+                      "het_db": heterodyne_db(audio, het, FS)}))
     return cases
 
 

@@ -64,11 +64,15 @@ class ChannelizedBank:
                  power_tau_blocks: float = 64.0,
                  offsets_hz=None, sideband: str = "usb",
                  filter_lo_hz: float = 300.0, filter_hi_hz: float = 3000.0,
-                 agc: str = "off"):
+                 agc: str = "off", buffer_remainder: bool = False):
         if demod not in ("baseband", "am", "power", "ssb"):
             raise ValueError(demod)
         self.m = n_channels
         self.demod = demod
+        # buffer_remainder=True: accept arbitrary segment lengths by carrying
+        # the unaligned tail host-side (see process_planar)
+        self.buffer_remainder = buffer_remainder
+        self._pending = None
         self.sample_rate = sample_rate
         if demod == "ssb":
             self.pfb = OversampledPFB(n_channels, taps_per_phase, sample_rate)
@@ -174,11 +178,11 @@ class ChannelizedBank:
                 reason = "M: one PFB frame per channel-rate sample"
             raise ValueError(
                 f"segment length {n} must be a multiple of {m} ({reason}); "
-                f"truncate or pad to n={n - n % m or m}")
+                f"truncate or pad to n={n - n % m or m}, or construct the "
+                f"bank with buffer_remainder=True")
 
     def process(self, iq, state: ChannelizedState):
         iq = np.asarray(iq) if isinstance(iq, np.ndarray) else iq
-        self._check_len(iq.shape[-1])
         if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
             xr = np.ascontiguousarray(iq.real, np.float32)
             xi = np.ascontiguousarray(iq.imag, np.float32)
@@ -186,8 +190,39 @@ class ChannelizedBank:
             xr, xi = iq.real.astype(jnp.float32), iq.imag.astype(jnp.float32)
         else:
             xr, xi = iq, jnp.zeros_like(iq)
-        return self._fn(state, xr, xi)
+        return self.process_planar(xr, xi, state)
 
     def process_planar(self, xr, xi, state: ChannelizedState):
-        self._check_len(xr.shape[-1])
+        if not self.buffer_remainder:
+            self._check_len(xr.shape[-1])
+            return self._fn(state, xr, xi)
+        # unaligned-feed convenience (VERDICT r2 #9): carry the unaligned
+        # tail in a host-side buffer and process the largest aligned prefix.
+        # Outputs cover only that prefix (possibly 0 samples); sample counts
+        # across calls are conserved. Note each distinct aligned length
+        # compiles once — steady feeders settle on one or two shapes.
+        xr = np.asarray(xr, np.float32)
+        xi = np.asarray(xi, np.float32)
+        if self._pending is not None:
+            xr = np.concatenate([self._pending[0], xr], axis=-1)
+            xi = np.concatenate([self._pending[1], xi], axis=-1)
+            self._pending = None
+        m = self.segment_multiple
+        n_ok = xr.shape[-1] - xr.shape[-1] % m
+        if n_ok < xr.shape[-1]:
+            self._pending = (xr[..., n_ok:], xi[..., n_ok:])
+            xr, xi = xr[..., :n_ok], xi[..., :n_ok]
+        if n_ok == 0:
+            empty = {"baseband_r": np.zeros((self.m, 0), np.float32),
+                     "baseband_i": np.zeros((self.m, 0), np.float32),
+                     "power_track": np.zeros((self.m, 0), np.float32),
+                     "power": state.power}
+            if self.demod in ("am", "ssb"):
+                empty["audio"] = np.zeros((self.m, 0), np.float32)
+            return empty, state
         return self._fn(state, xr, xi)
+
+    @property
+    def pending_samples(self) -> int:
+        """Input samples buffered awaiting alignment (buffer_remainder)."""
+        return 0 if self._pending is None else self._pending[0].shape[-1]

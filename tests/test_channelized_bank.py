@@ -117,3 +117,35 @@ def test_segment_multiple_validation():
     assert bank_ssb.segment_multiple == 64 * 16
     with _pytest.raises(ValueError, match="multiple of 1024"):
         bank_ssb.process(np.zeros(512, np.complex64), bank_ssb.init_state())
+
+
+def test_ssb_buffer_remainder_matches_aligned(rng):
+    """buffer_remainder=True (VERDICT r2 #9): arbitrary segment lengths are
+    accepted; outputs concatenated over unaligned feeds == one aligned
+    one-shot run (the unaligned tail carries host-side between calls)."""
+    m = 8
+    n = m * 64 * 4                          # segment_multiple = 512, n = 2048
+    offsets = rng.uniform(-500, 500, m)
+    iq = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          .astype(np.complex64) * 0.2)
+
+    aligned = ChannelizedBank(n_channels=m, demod="ssb", offsets_hz=offsets)
+    out_f, _ = aligned.process(iq, aligned.init_state())
+
+    bank = ChannelizedBank(n_channels=m, demod="ssb", offsets_hz=offsets,
+                           buffer_remainder=True)
+    st = bank.init_state()
+    pieces = []
+    cuts = [0, 100, 612, 700, 1553, 2000]   # ragged, sub-multiple feeds
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        o, st = bank.process(iq[a:b], st)
+        pieces.append(np.asarray(o["audio"]))
+    assert bank.pending_samples == 2000 - 1536   # unaligned tail carried
+    got = np.concatenate(pieces, axis=-1)
+    want = np.asarray(out_f["audio"])
+    np.testing.assert_allclose(got, want[:, : got.shape[-1]], atol=2e-5)
+    # feeding the rest completes the aligned stream exactly
+    o, st = bank.process(iq[2000:], st)
+    assert bank.pending_samples == 0
+    full = np.concatenate([got, np.asarray(o["audio"])], axis=-1)
+    np.testing.assert_allclose(full, want, atol=2e-5)

@@ -22,19 +22,29 @@ def run_case(mode_name, n_ch=16, n=65536, seed=0):
     import jax.numpy as jnp
 
     from radiodsp_sdr_rx_tpu.models.config import (
-        AGCMode, DemodMode, ReceiverConfig)
-    from radiodsp_sdr_rx_tpu.models.fused import FusedAMBank, FusedSSBBank
+        AGCMode, DemodMode, NRMode, ReceiverConfig)
+    from radiodsp_sdr_rx_tpu.models.fused import (
+        FusedAMBank, FusedNRBank, FusedSAMBank, FusedSSBBank)
     from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
 
     center = 7_050_000.0
     freqs = [center + 2_000.0 * k for k in range(n_ch)]
-    mode = DemodMode.USB if mode_name == "usb" else DemodMode.AM
-    cfg = ReceiverConfig(mode=mode, vfo_freq=freqs[0],
-                         capture_center_freq=center, agc=AGCMode.MEDIUM)
+    demod = {"am": DemodMode.AM, "sam": DemodMode.SAM,
+             "lms": DemodMode.USB, "notch": DemodMode.CW_NARROW,
+             "spectral": DemodMode.USB}.get(mode_name, DemodMode.USB)
+    nr = {"lms": NRMode.DNR2, "notch": NRMode.NOTCH,
+          "spectral": NRMode.SPEC2}.get(mode_name, NRMode.OFF)
+    cfg = ReceiverConfig(mode=demod, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM,
+                         nr=nr)
     if mode_name == "usb":
         fused = FusedSSBBank(cfg, freqs, block_t=4096, backend="sweep")
-    else:
+    elif mode_name == "am":
         fused = FusedAMBank(cfg, freqs, block_t=4096)
+    elif mode_name == "sam":
+        fused = FusedSAMBank(cfg, freqs)
+    else:                       # lms / notch / spectral folded chains
+        fused = FusedNRBank(cfg, freqs)
     bank = ReceiverBank(cfg, freqs)
 
     rng = np.random.default_rng(seed)
@@ -67,7 +77,7 @@ def main():
     import jax
 
     quick = "--quick" in sys.argv
-    modes = ["usb", "am"]
+    modes = ["usb", "am", "sam", "lms", "notch", "spectral"]
     for a in sys.argv[1:]:
         if a.startswith("--modes="):
             modes = a.split("=", 1)[1].split(",")

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from radiodsp_sdr_rx_tpu.models.config import DemodMode, ReceiverConfig
-from radiodsp_sdr_rx_tpu.models.receiver import build_params
+from radiodsp_sdr_rx_tpu.models.receiver import _PRECISIONS, build_params
 from radiodsp_sdr_rx_tpu.ops import agc as agc_ops
 from radiodsp_sdr_rx_tpu.ops import nco, pallas_kernels
 
@@ -204,6 +204,8 @@ class FusedNRBank:
                  block_c: int = 8, block_t: int = 4096,
                  lms_chunk: int = 4096,
                  fold: bool = True,
+                 fold_chunk: int = 1024,
+                 fold_group: int = 16,
                  interpret: bool = False):
         """``fold=True`` (default) runs NR stages folded INTO the single-sweep
         kernel where a folded kernel exists (spectral:
@@ -220,11 +222,15 @@ class FusedNRBank:
                              "FusedSSBBank for nr=off")
         if config.noise_blanker:
             raise ValueError("noise-blanker configs use ReceiverBank")
-        if len(freqs_hz) > LANES:
-            raise ValueError(f"FusedNRBank supports <= {LANES} channels")
+        fold_lanes = fold and config.nr.kind in ("lms", "notch")
+        if len(freqs_hz) > LANES and not fold_lanes:
+            raise ValueError(f"FusedNRBank supports <= {LANES} channels on "
+                             "the staged path (fold=True lifts the ceiling)")
         self.config = config
         self.n_channels = len(freqs_hz)
-        self._lanes = LANES
+        # folded lanes kernel grids over 128-channel groups: round up
+        self._lanes = max(LANES, -(-len(freqs_hz) // LANES) * LANES) \
+            if fold_lanes else LANES
         p = build_params(config)
         self.params = p
         self.incs = np.stack([
@@ -257,6 +263,65 @@ class FusedNRBank:
             return out[:c], dict(lms_weights=w2, lms_window=win2,
                                  lms_delay=d2,
                                  lms_first=jnp.asarray(False))
+
+        def fn_lanes(state: FusedNRBankState, xr, xi, incs, w_ssb, w_pbt,
+                     dft_cos, dft_sin):
+            """LMS denoise/notch folded INTO the sweep kernel
+            (ops/pallas_chain_lanes.sweep_lanes_chain): MXU tile transposes
+            move the stream to channels-on-lanes for the adaptive stage and
+            back, all in VMEM — no staged HBM round-trips."""
+            from radiodsp_sdr_rx_tpu.ops.pallas_chain_lanes import (
+                sweep_lanes_chain,
+            )
+
+            n = xr.shape[-1]
+            lanes = self._lanes
+            pad = lanes - c
+
+            def padc(a):
+                if not pad:
+                    return a
+                return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+            l, r, atail, env, w2, win2, dly2, _, _ = sweep_lanes_chain(
+                padc(xr), padc(xi), padc(incs), padc(state.nco_phase),
+                w_ssb, w_pbt,
+                padc(state.sb_tail[:, :128]), padc(state.sb_tail[:, 128:]),
+                padc(state.audio_tail), padc(state.agc_env),
+                stage="denoise" if kind == "lms" else "notch",
+                agc_release=agc_params.release,
+                agc_target=agc_params.target,
+                agc_max_gain=agc_params.max_gain,
+                agc_enabled=bool(agc_params.enabled),
+                out_gain=float(out_gain), interpret=interpret
+                or jax.default_backend() == "cpu",
+                in_gain=float(in_gain), iq_balance=float(balance),
+                lms_weights=jnp.swapaxes(state.lms_weights, 0, 1),
+                lms_window=jnp.swapaxes(state.lms_window, 0, 1),
+                lms_delay_block=jnp.swapaxes(state.lms_delay, 0, 1),
+                lms_first=state.lms_first,
+                mu=float(lms_ops.lms_mu_from_strength(
+                    config.nr.level if config.nr.level > 0 else 20)),
+                chunk_t=fold_chunk, group=fold_group,
+                precision=_PRECISIONS[config.matmul_precision])
+            l = l[:c]
+            r = l if kind == "lms" else r[:c]   # mono copy R<-L for DNR
+            new_state = FusedNRBankState(
+                nco_phase=state.nco_phase
+                + jnp.asarray(n, jnp.uint32) * incs.astype(jnp.uint32),
+                # RAW input tail — the kernel re-scales and re-mixes it
+                # (sweep-backend semantics, FusedBankState docstring)
+                sb_tail=jnp.concatenate([xr[:, -128:], xi[:, -128:]], axis=-1),
+                audio_tail=atail[:c],
+                agc_env=env[:c],
+                lms_weights=jnp.swapaxes(w2, 0, 1),
+                lms_window=jnp.swapaxes(win2, 0, 1),
+                lms_delay=jnp.swapaxes(dly2, 0, 1),
+                lms_first=jnp.asarray(False),
+                nfloor=state.nfloor, spec_tail_l=state.spec_tail_l,
+                spec_tail_r=state.spec_tail_r,
+            )
+            return {"audio_l": l, "audio_r": r}, new_state
 
         fold_spectral = fold and kind == "spectral"
         if fold_spectral:
@@ -362,7 +427,12 @@ class FusedNRBank:
             )
             return {"audio_l": l * out_gain, "audio_r": r * out_gain}, new_state
 
-        self._fn = jax.jit(fn_spec_fold if fold_spectral else fn)
+        if fold_spectral:
+            self._fn = jax.jit(fn_spec_fold)
+        elif fold_lanes:
+            self._fn = jax.jit(fn_lanes)
+        else:
+            self._fn = jax.jit(fn)
 
     def init_state(self) -> FusedNRBankState:
         from radiodsp_sdr_rx_tpu.ops.lms import LMS_DELAY, LMS_TAPS
@@ -397,12 +467,15 @@ class FusedNRBank:
 
 
 class FusedSAMBankState(NamedTuple):
+    """``sb_tail`` semantics differ by backend (NOT interchangeable):
+    fold=True stores the RAW input's last block (re-scaled and re-mixed
+    in-kernel); the staged backend stores the MIXED stream's last block."""
     nco_phase: jax.Array   # (C,) uint32 DDS phase words
-    sb_tail: jax.Array     # (C, 256) f32 [re|im] MIXED-stream framing tail
+    sb_tail: jax.Array     # (C, 256) f32 [re|im] framing tail (see above)
     audio_tail: jax.Array  # (C, 128) f32 PBT framing tail
     agc_env: jax.Array     # (C,) f32
-    sam_phase: jax.Array   # (128,) f32 PLL phase (padded to the lane width)
-    sam_freq: jax.Array    # (128,) f32 PLL frequency
+    sam_phase: jax.Array   # (lanes,) f32 PLL phase (padded to lane width)
+    sam_freq: jax.Array    # (lanes,) f32 PLL frequency
     sam_dc: jax.Array      # (C, 2) f32 DC-blocker carry
 
 
@@ -419,7 +492,13 @@ class FusedSAMBank:
     def __init__(self, config: ReceiverConfig, freqs_hz,
                  block_c: int = 8, block_t: int = 4096,
                  sam_chunk: int = 4096,
+                 fold: bool = True,
                  interpret: bool = False):
+        """``fold=True`` (default) runs the WHOLE SAM chain in one kernel
+        (ops/pallas_chain_lanes.sweep_lanes_chain stage="sam": band-pass
+        matmul, PLL on lanes via MXU tile transposes, DC blocker, AGC, PBT —
+        no staged HBM round-trips); ``fold=False`` keeps the staged
+        XLA-sandwich path (the parity oracle)."""
         from radiodsp_sdr_rx_tpu.ops.pallas_sam import LANES
 
         if config.mode != DemodMode.SAM:
@@ -427,11 +506,13 @@ class FusedSAMBank:
                              "ReceiverBank")
         if config.nr.kind != "off" or config.noise_blanker:
             raise ValueError("NR/noise-blanker configs use ReceiverBank")
-        if len(freqs_hz) > LANES:
-            raise ValueError(f"FusedSAMBank supports <= {LANES} channels")
+        if len(freqs_hz) > LANES and not fold:
+            raise ValueError(f"FusedSAMBank supports <= {LANES} channels on "
+                             "the staged path (fold=True lifts the ceiling)")
         self.config = config
         self.n_channels = len(freqs_hz)
-        self._lanes = LANES
+        self._lanes = max(LANES, -(-len(freqs_hz) // LANES) * LANES) \
+            if fold else LANES
         p = build_params(config)
         self.params = p
         self.incs = np.stack([
@@ -485,7 +566,50 @@ class FusedSAMBank:
             )
             return {"audio_l": l * out_gain, "audio_r": r * out_gain}, new_state
 
-        self._fn = jax.jit(fn)
+        def fn_fold(state: FusedSAMBankState, xr, xi, incs, w_sb, w_pbt):
+            from radiodsp_sdr_rx_tpu.ops.pallas_chain_lanes import (
+                sweep_lanes_chain,
+            )
+
+            n = xr.shape[-1]
+            lanes = self._lanes
+            pad = lanes - c
+
+            def padc(a):
+                if not pad:
+                    return a
+                return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+            l, r, atail, env, _, _, _, dc, pll = sweep_lanes_chain(
+                padc(xr), padc(xi), padc(incs), padc(state.nco_phase),
+                w_sb, w_pbt,
+                padc(state.sb_tail[:, :128]), padc(state.sb_tail[:, 128:]),
+                padc(state.audio_tail), padc(state.agc_env),
+                stage="sam",
+                agc_release=agc_params.release,
+                agc_target=agc_params.target,
+                agc_max_gain=agc_params.max_gain,
+                agc_enabled=bool(agc_params.enabled),
+                out_gain=float(out_gain), interpret=interpret
+                or jax.default_backend() == "cpu",
+                in_gain=float(in_gain), iq_balance=float(balance),
+                dc0=padc(state.sam_dc),
+                pll0=jnp.stack([state.sam_phase, state.sam_freq], axis=0),
+                sample_rate=fs,
+                precision=_PRECISIONS[config.matmul_precision])
+            new_state = FusedSAMBankState(
+                nco_phase=state.nco_phase
+                + jnp.asarray(n, jnp.uint32) * incs.astype(jnp.uint32),
+                # RAW input tail — re-scaled and re-mixed in-kernel
+                sb_tail=jnp.concatenate([xr[:, -128:], xi[:, -128:]], axis=-1),
+                audio_tail=atail[:c],
+                agc_env=env[:c],
+                sam_phase=pll[0], sam_freq=pll[1], sam_dc=dc[:c],
+            )
+            return {"audio_l": l[:c], "audio_r": r[:c]}, new_state
+
+        self._fn = jax.jit(fn_fold if fold else fn)
+        self._fold = fold
 
     def init_state(self) -> FusedSAMBankState:
         c, lanes = self.n_channels, self._lanes

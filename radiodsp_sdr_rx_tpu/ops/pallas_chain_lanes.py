@@ -59,10 +59,16 @@ _TWO_PI = float(2.0 * np.pi)
 
 
 def _transpose_mxu(x: jax.Array, ident: jax.Array) -> jax.Array:
-    """(128, 128) tile transpose as one MXU matmul: out[m, i] = x[i, m]."""
+    """(128, 128) tile transpose as one MXU matmul: out[m, i] = x[i, m].
+
+    Always HIGHEST precision: a transpose is data movement — at the default
+    1-pass bf16 it would ROUND every value to 8 mantissa bits (4e-3 relative)
+    on each layout change, which the SAM PLL's phase recurrence then amplifies
+    to O(1) output error (chip-bisected root cause, round 3)."""
     return jax.lax.dot_general(
         x, ident, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _lanes_chain_kernel(
@@ -79,6 +85,7 @@ def _lanes_chain_kernel(
     agc_enabled: bool, stage: str, mu: float, group: int, taps: int,
     dc_pole: float, pll_kp: float, pll_ki: float, pll_max_freq: float,
     in_gain: float = 1.0, iq_balance: float = 1.0,
+    precision=None,
 ):
     """One kernel instance = the whole 128-channel bank, streaming time.
 
@@ -198,9 +205,12 @@ def _lanes_chain_kernel(
         """Second-order PLL over t_buf/t_buf2 = (chunk, C) zr/zi; in-phase
         product -> o_buf. Constants per ops/demod.demod_sam."""
         def body(n, carry):
-            phase, freq = carry                    # (128,)
-            zr = t_buf[n, :]
-            zi = t_buf2[n, :]
+            phase, freq = carry                    # (1, 128)
+            # 2-D pl.ds row slices (1, 128): keeps every loop value at the
+            # backend's native 2-D vector shape (1-D scalar-indexed loads
+            # also lower, but 2-D matches the rest of the kernel)
+            zr = t_buf[pl.ds(n, 1), :]
+            zi = t_buf2[pl.ds(n, 1), :]
             cr = jnp.cos(phase)
             ci = jnp.sin(phase)
             vr = zr * cr + zi * ci
@@ -211,13 +221,14 @@ def _lanes_chain_kernel(
                             np.float32(pll_max_freq))
             phase = jnp.mod(phase + freq + np.float32(pll_kp) * err,
                             np.float32(_TWO_PI))
-            o_buf[n, :] = vr
+            o_buf[pl.ds(n, 1), :] = vr
             return (phase, freq)
 
         phase, freq = jax.lax.fori_loop(
-            0, chunk, body, (pll_st[0, :], pll_st[1, :]))
-        pll_st[0, :] = phase
-        pll_st[1, :] = freq
+            0, chunk, body,
+            (pll_st[pl.ds(0, 1), :], pll_st[pl.ds(1, 1), :]))
+        pll_st[pl.ds(0, 1), :] = phase
+        pll_st[pl.ds(1, 1), :] = freq
 
     def agc_block(audio):
         run_e = _env_lanes(jnp.abs(audio), agc_release)
@@ -241,7 +252,7 @@ def _lanes_chain_kernel(
         lr = jax.lax.dot_general(
             frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ).reshape(cb, chunk_nb, 256)
         audio_tail[:] = audio_g[:, chunk_nb - 1, :]
         return lr
@@ -277,7 +288,7 @@ def _lanes_chain_kernel(
         y = jax.lax.dot_general(
             frames.reshape(cb * chunk_nb, 512), w_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ).reshape(cb, chunk_nb, w_out)
         tail_r[:] = br[:, chunk_nb - 1, :]
         tail_i[:] = bi[:, chunk_nb - 1, :]
@@ -407,6 +418,7 @@ def sweep_lanes_chain(
     dc_pole: float = 0.995,
     pll_bw_hz: float = 100.0,
     sample_rate: float = 44117.64706,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Whole 128-lane receive chain with the adaptive stage folded in.
 
@@ -464,7 +476,8 @@ def sweep_lanes_chain(
         agc_enabled=bool(agc_enabled), stage=stage, mu=float(mu),
         group=int(group), taps=taps, dc_pole=float(dc_pole),
         pll_kp=kp, pll_ki=ki, pll_max_freq=max_freq,
-        in_gain=float(in_gain), iq_balance=float(iq_balance))
+        in_gain=float(in_gain), iq_balance=float(iq_balance),
+        precision=precision)
 
     def cspec(rows):
         """Per-lane-group block on the channel (first) axis."""
@@ -523,13 +536,16 @@ def sweep_lanes_chain(
         scratch_shapes=[
             buf, buf, buf, buf_ro, sem, sem, sem, sem,
             cvec, cvec, cvec, cvec,
-            tchunk, tchunk, tchunk,
+            tchunk,                                      # t_buf (all stages)
+            tchunk if lms else pltpu.VMEM((8, 128), jnp.float32),  # d_buf
+            tchunk,                                      # o_buf
             pltpu.VMEM((taps, 128), jnp.float32),
             pltpu.VMEM((taps, 128), jnp.float32),
             pltpu.VMEM((128, 128), jnp.float32),
             cvec, cvec,
             pltpu.VMEM((2, 128), jnp.float32),
-            tchunk,
+            # t_buf2: SAM's imaginary plane only
+            tchunk if stage == "sam" else pltpu.VMEM((8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(inc[:, None], phase0[:, None], tail_r, tail_i, audio_tail,

@@ -58,7 +58,14 @@ class FusedSSBBank:
     def __init__(self, config: ReceiverConfig, freqs_hz,
                  block_c: int = 8, block_t: int = 4096,
                  backend: str = "sweep",
+                 kernel_precision: str | None = None,
                  interpret: bool = False):
+        """``kernel_precision``: None (default) keeps the sweep kernel's
+        1-pass-bf16 MXU matmuls — the speed-of-light path, parity vs the f32
+        bank ~1e-3 (docs/CHIP_PARITY.md); "highest"/"high"/"bf16" forces a
+        precision (config.matmul_precision stays the STAGED backend's and XLA
+        bank's knob). The linear SSB/AM chains tolerate bf16; the adaptive
+        folded chains (FusedNRBank/FusedSAMBank) always follow the config."""
         if config.mode in (DemodMode.AM, DemodMode.SAM):
             raise ValueError("FusedSSBBank covers SSB modes; use ReceiverBank")
         if config.nr.kind != "off" or config.noise_blanker:
@@ -101,6 +108,8 @@ class FusedSSBBank:
                 block_c=block_c, chunk_t=block_t, interpret=interpret,
                 in_gain=float(in_gain),
                 iq_balance=float(config.iq_gain_balance),
+                precision=None if kernel_precision is None
+                else _PRECISIONS[kernel_precision],
             )
             new_state = FusedBankState(
                 nco_phase=state.nco_phase
@@ -353,7 +362,8 @@ class FusedNRBank:
                 agc_enabled=bool(agc_params.enabled),
                 out_gain=float(out_gain),
                 block_c=block_c, chunk_t=block_t, interpret=interpret,
-                in_gain=float(in_gain), iq_balance=float(balance))
+                in_gain=float(in_gain), iq_balance=float(balance),
+                precision=_PRECISIONS[config.matmul_precision])
             new_state = FusedNRBankState(
                 nco_phase=state.nco_phase
                 + jnp.asarray(n, jnp.uint32) * incs.astype(jnp.uint32),
@@ -652,6 +662,7 @@ class FusedAMBank:
 
     def __init__(self, config: ReceiverConfig, freqs_hz,
                  block_c: int = 8, block_t: int = 4096,
+                 kernel_precision: str | None = None,
                  interpret: bool = False):
         if config.mode != DemodMode.AM:
             raise ValueError("FusedAMBank covers AM; use FusedSSBBank or "
@@ -692,6 +703,8 @@ class FusedAMBank:
                 block_c=block_c, chunk_t=block_t, interpret=interpret,
                 in_gain=float(in_gain),
                 iq_balance=float(config.iq_gain_balance),
+                precision=None if kernel_precision is None
+                else _PRECISIONS[kernel_precision],
             )
             new_state = FusedAMBankState(
                 nco_phase=state.nco_phase

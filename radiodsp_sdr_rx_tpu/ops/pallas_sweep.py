@@ -267,6 +267,7 @@ def _chain_kernel(
     agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, emit_r: bool, demod: str, dc_pole: float,
     in_gain: float = 1.0, iq_balance: float = 1.0,
+    precision=None,
 ):
     """The whole reference conv-engine chain for one channel block, streaming
     the time axis through a 2-slot VMEM ring. Parity chain (to f32 tol):
@@ -376,7 +377,7 @@ def _chain_kernel(
         y = jax.lax.dot_general(
             frames.reshape(cb * chunk_nb, 512), w_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ).reshape(cb, chunk_nb, w_out)
         tail_r[:] = br[:, chunk_nb - 1, :]
         tail_i[:] = bi[:, chunk_nb - 1, :]
@@ -437,7 +438,7 @@ def _chain_kernel(
         lr = jax.lax.dot_general(
             frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ).reshape(cb, chunk_nb, 256)
         audio_tail[:] = audio_g[:, chunk_nb - 1, :]
 
@@ -481,7 +482,7 @@ def _sweep_chain(
     *, demod: str, agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, out_gain: float, dc_pole: float,
     block_c: int, chunk_t: int, emit_r: bool, interpret: bool,
-    in_gain: float = 1.0, iq_balance: float = 1.0,
+    in_gain: float = 1.0, iq_balance: float = 1.0, precision=None,
 ):
     """Shared pallas_call wrapper for the full-chain sweep kernels."""
     if not (0.0 < dc_pole <= 1.0):
@@ -505,7 +506,7 @@ def _sweep_chain(
         agc_target=agc_target, agc_max_gain=agc_max_gain,
         agc_enabled=agc_enabled, emit_r=emit_r, demod=demod,
         dc_pole=float(dc_pole), in_gain=float(in_gain),
-        iq_balance=float(iq_balance))
+        iq_balance=float(iq_balance), precision=precision)
 
     def vspec(shape):
         return pl.BlockSpec(shape, lambda ci: (ci,) + (0,) * (len(shape) - 1),
@@ -592,6 +593,7 @@ def sweep_full_chain(
     interpret: bool = False,
     in_gain: float = 1.0,
     iq_balance: float = 1.0,
+    precision=None,
 ):
     """Whole SSB receive chain in one single-sweep Pallas kernel.
 
@@ -619,7 +621,7 @@ def sweep_full_chain(
         agc_max_gain=agc_max_gain, agc_enabled=agc_enabled,
         out_gain=out_gain, dc_pole=1.0, block_c=block_c, chunk_t=chunk_t,
         emit_r=emit_r, interpret=interpret, in_gain=in_gain,
-        iq_balance=iq_balance)
+        iq_balance=iq_balance, precision=precision)
     return audio_l, audio_r, atail, env_next
 
 
@@ -647,6 +649,7 @@ def sweep_am_chain(
     interpret: bool = False,
     in_gain: float = 1.0,
     iq_balance: float = 1.0,
+    precision=None,
 ):
     """Whole AM receive chain in one single-sweep Pallas kernel.
 
@@ -669,4 +672,4 @@ def sweep_am_chain(
         agc_max_gain=agc_max_gain, agc_enabled=agc_enabled,
         out_gain=out_gain, dc_pole=dc_pole, block_c=block_c, chunk_t=chunk_t,
         emit_r=emit_r, interpret=interpret, in_gain=in_gain,
-        iq_balance=iq_balance)
+        iq_balance=iq_balance, precision=precision)

@@ -54,6 +54,7 @@ def _spec_chain_kernel(
     agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, nr_gain: float,
     in_gain: float = 1.0, iq_balance: float = 1.0,
+    precision=None,
 ):
     """SSB chain + spectral subtraction for one channel block (streaming
     2-slot VMEM ring — structure mirrors pallas_sweep._chain_kernel).
@@ -147,6 +148,7 @@ def _spec_chain_kernel(
             frames.reshape(cb * chunk_nb, 512), w_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         ).reshape(cb, chunk_nb, 128)
         tail_r[:] = br[:, chunk_nb - 1, :]
         tail_i[:] = bi[:, chunk_nb - 1, :]
@@ -175,6 +177,7 @@ def _spec_chain_kernel(
             frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         ).reshape(cb, chunk_nb, 256)
         audio_tail[:] = audio_g[:, chunk_nb - 1, :]
         l = lr[..., :128]
@@ -189,6 +192,7 @@ def _spec_chain_kernel(
             ff.reshape(cb * chunk_nb, 512), wsf_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         ).reshape(cb, chunk_nb, 512)
         st_l[:] = l[:, chunk_nb - 1, :]
         st_r[:] = r[:, chunk_nb - 1, :]
@@ -217,6 +221,7 @@ def _spec_chain_kernel(
             s2.reshape(cb * chunk_nb, 512), wsi_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         ).reshape(cb, chunk_nb, 256)
 
         buf_l[slot] = ylr[..., :128] * out_gain
@@ -276,6 +281,7 @@ def sweep_spec_chain(
     interpret: bool = False,
     in_gain: float = 1.0,
     iq_balance: float = 1.0,
+    precision=None,
 ):
     """Whole SSB + spectral-subtraction receive chain in ONE Pallas kernel.
 
@@ -309,7 +315,8 @@ def sweep_spec_chain(
         out_gain=float(out_gain), agc_release=float(agc_release),
         agc_target=float(agc_target), agc_max_gain=float(agc_max_gain),
         agc_enabled=bool(agc_enabled), nr_gain=nr_gain,
-        in_gain=float(in_gain), iq_balance=float(iq_balance))
+        in_gain=float(in_gain), iq_balance=float(iq_balance),
+        precision=precision)
 
     def vspec(shape):
         return pl.BlockSpec(shape, lambda ci: (ci,) + (0,) * (len(shape) - 1),

@@ -264,3 +264,46 @@ def test_fused_sam_streaming_continuity(rng):
     got = np.concatenate([np.asarray(out1["audio_l"]),
                           np.asarray(out2["audio_l"])], axis=1)
     np.testing.assert_allclose(got, np.asarray(out_full["audio_l"]), atol=1e-4)
+
+
+def test_fused_fold_multigroup_lane_ceiling(rng):
+    """fold=True lifts the 128-lane ceiling: a 160-channel LMS bank grids
+    over two lane groups and matches a 160-channel ReceiverBank; SAM
+    likewise threads its padded PLL state across two segments."""
+    from radiodsp_sdr_rx_tpu.models.fused import FusedNRBank, FusedSAMBank
+
+    n, n_ch = 2048, 160
+    center = 7_050_000.0
+    freqs = [center + 500.0 * k for k in range(n_ch)]
+    iq = ((rng.standard_normal((n_ch, 2 * n))
+           + 1j * rng.standard_normal((n_ch, 2 * n)))
+          .astype(np.complex64) * 0.2)
+
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM,
+                         nr=NRMode.DNR2)
+    fused = FusedNRBank(cfg, freqs, fold_chunk=1024, interpret=True)
+    bank = ReceiverBank(cfg, freqs)
+    st_f, st_b = fused.init_state(), bank.init_state()
+    got, want = [], []
+    for sl in (slice(0, n), slice(n, 2 * n)):
+        of, st_f = fused.process(iq[:, sl], st_f)
+        ob, st_b = bank.process(iq[:, sl], st_b)
+        got.append(np.asarray(of["audio_l"]))
+        want.append(np.asarray(ob["audio_l"]))
+    np.testing.assert_allclose(np.concatenate(got, axis=1),
+                               np.concatenate(want, axis=1), atol=2e-3)
+
+    cfg_s = ReceiverConfig(mode=DemodMode.SAM, vfo_freq=freqs[0],
+                           capture_center_freq=center, agc=AGCMode.MEDIUM)
+    fused_s = FusedSAMBank(cfg_s, freqs, interpret=True)
+    bank_s = ReceiverBank(cfg_s, freqs)
+    st_f, st_b = fused_s.init_state(), bank_s.init_state()
+    got, want = [], []
+    for sl in (slice(0, n), slice(n, 2 * n)):
+        of, st_f = fused_s.process(iq[:, sl], st_f)
+        ob, st_b = bank_s.process(iq[:, sl], st_b)
+        got.append(np.asarray(of["audio_l"]))
+        want.append(np.asarray(ob["audio_l"]))
+    np.testing.assert_allclose(np.concatenate(got, axis=1),
+                               np.concatenate(want, axis=1), atol=2e-3)

@@ -20,3 +20,4 @@ from radiodsp_sdr_rx_tpu.models.fused import (  # noqa: E402,F401
 )
 from radiodsp_sdr_rx_tpu.models.channelized import ChannelizedBank  # noqa: E402,F401
 from radiodsp_sdr_rx_tpu.models.metrics import analyze, scope_init, ScopeState  # noqa: E402,F401
+from radiodsp_sdr_rx_tpu.models.appliance import Appliance  # noqa: E402,F401

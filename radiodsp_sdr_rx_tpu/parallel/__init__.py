@@ -23,3 +23,6 @@ from radiodsp_sdr_rx_tpu.parallel.pallas_halo import (  # noqa: E402
     ring_shift_right_pallas,
     shift_from_left_pallas,
 )
+from radiodsp_sdr_rx_tpu.parallel.fused_shard import (  # noqa: E402
+    ShardedFusedBank,
+)

@@ -70,11 +70,15 @@ def _bench_bank(cfg, n_channels, seg_len, reps=5):
     out, state = bank.process_planar(xr, xi, state)
     checksum = float(force(out))
     assert np.isfinite(checksum), "non-finite output"
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out, state = bank.process_planar(xr, xi, state)
-    float(force(out))
-    dt = time.perf_counter() - t0
+    # best of 3 windows: the first window after a relay-idle period can run
+    # ~2x slow (same rationale as bench.py)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out, state = bank.process_planar(xr, xi, state)
+        float(force(out))
+        dt = min(dt, time.perf_counter() - t0)
     return n_channels * seg_len * reps / dt / 1e6, path
 
 

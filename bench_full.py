@@ -41,9 +41,10 @@ def _make_bank(cfg, freqs):
             if cfg.mode == DemodMode.AM:
                 return FusedAMBank(cfg, freqs, block_t=8192), "sweep-am"
             if cfg.mode == DemodMode.SAM:
-                return FusedSAMBank(cfg, freqs), "pallas-sam"
+                return FusedSAMBank(cfg, freqs), "sweep-sam"
             return FusedSSBBank(cfg, freqs, block_t=8192), "sweep"
-        if ssb and len(freqs) <= 128:
+        if ssb and (len(freqs) <= 128 or cfg.nr.kind in ("lms", "notch")):
+            # lms/notch fold over lane groups -> no 128-channel ceiling
             return FusedNRBank(cfg, freqs, block_t=8192), f"sweep+{cfg.nr.kind}"
         raise ValueError("no fused path")
     except ValueError:
@@ -84,6 +85,15 @@ def _bench_bank(cfg, n_channels, seg_len, reps=5):
 
 def main() -> int:
     quick = "--quick" in sys.argv
+    import os
+
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     from radiodsp_sdr_rx_tpu.models.config import (
         AGCMode, DemodMode, NRMode, ReceiverConfig,
     )
@@ -107,12 +117,25 @@ def main() -> int:
         "config5_1024ch_bank": ReceiverConfig(
             mode=DemodMode.USB, vfo_freq=7_200_000.0,
             capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM),
+        # beyond the BASELINE five: the two remaining engines
+        "config6_sam_128ch": ReceiverConfig(
+            mode=DemodMode.SAM, vfo_freq=7_060_000.0,
+            capture_center_freq=7_050_000.0, agc=AGCMode.MEDIUM),
+        "config7_usb_dnr2_128ch": ReceiverConfig(
+            mode=DemodMode.USB, vfo_freq=7_200_000.0,
+            capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM,
+            nr=NRMode.DNR2),
     }
     channels = {"config1_am_64ch": 64, "config2_usb_128ch": 128,
                 "config3_cw_notch_128ch": 128, "config4_spec_nr_64ch": 64,
-                "config5_1024ch_bank": 1024}
-    seg_override = {"config3_cw_notch_128ch": 1 << 16,
-                    "config5_1024ch_bank": 1 << 16}
+                "config5_1024ch_bank": 1024, "config6_sam_128ch": 128,
+                "config7_usb_dnr2_128ch": 128}
+    # config5 keeps a shorter segment only to bound HBM (1024 ch x 2 planes);
+    # the adaptive-engine configs use the full segment — per-call dispatch
+    # through the relay costs ~7 ms, so short segments under-report the
+    # kernel's sustained rate (tools/tune_fold.py: notch 509 Ms/s at 2^16 vs
+    # 1640 Ms/s at 2^19 for the SAME kernel)
+    seg_override = {"config5_1024ch_bank": 1 << 16}
 
     results = {}
     for name, cfg in scenarios.items():

@@ -501,15 +501,22 @@ class FusedSAMBank:
 
     def __init__(self, config: ReceiverConfig, freqs_hz,
                  block_c: int = 8, block_t: int = 4096,
-                 sam_chunk: int = 4096,
+                 sam_chunk: int | None = None,
                  fold: bool = True,
                  interpret: bool = False):
         """``fold=True`` (default) runs the WHOLE SAM chain in one kernel
         (ops/pallas_chain_lanes.sweep_lanes_chain stage="sam": band-pass
         matmul, PLL on lanes via MXU tile transposes, DC blocker, AGC, PBT —
         no staged HBM round-trips); ``fold=False`` keeps the staged
-        XLA-sandwich path (the parity oracle)."""
+        XLA-sandwich path (the parity oracle).
+
+        ``sam_chunk`` is the kernel time chunk: default 1024 folded (the
+        folded kernel's VMEM budget caps the chunk; 2048 fails to compile on
+        the deployment backend) and 4096 staged."""
         from radiodsp_sdr_rx_tpu.ops.pallas_sam import LANES
+
+        if sam_chunk is None:
+            sam_chunk = 1024 if fold else 4096
 
         if config.mode != DemodMode.SAM:
             raise ValueError("FusedSAMBank covers SAM; use FusedAMBank or "
@@ -595,7 +602,7 @@ class FusedSAMBank:
                 w_sb, w_pbt,
                 padc(state.sb_tail[:, :128]), padc(state.sb_tail[:, 128:]),
                 padc(state.audio_tail), padc(state.agc_env),
-                stage="sam",
+                stage="sam", chunk_t=sam_chunk,
                 agc_release=agc_params.release,
                 agc_target=agc_params.target,
                 agc_max_gain=agc_params.max_gain,

@@ -502,6 +502,7 @@ class FusedSAMBank:
     def __init__(self, config: ReceiverConfig, freqs_hz,
                  block_c: int = 8, block_t: int = 4096,
                  sam_chunk: int | None = None,
+                 max_kernel_seg: int = 1 << 16,
                  fold: bool = True,
                  interpret: bool = False):
         """``fold=True`` (default) runs the WHOLE SAM chain in one kernel
@@ -583,6 +584,14 @@ class FusedSAMBank:
             )
             return {"audio_l": l * out_gain, "audio_r": r * out_gain}, new_state
 
+        # Longest segment handed to ONE sweep_lanes_chain pallas_call: the
+        # deployment backend's remote compiler crashes on the stage="sam"
+        # kernel above 2^16 samples (bisected on-chip, round 3; notch/lms
+        # compile fine at 2^19). Longer segments lax.scan the kernel over
+        # max_kernel_seg-sample sub-segments inside the SAME jit — exact
+        # state threading, one dispatch, bounded compile.
+        _KSEG = int(max_kernel_seg)
+
         def fn_fold(state: FusedSAMBankState, xr, xi, incs, w_sb, w_pbt):
             from radiodsp_sdr_rx_tpu.ops.pallas_chain_lanes import (
                 sweep_lanes_chain,
@@ -597,33 +606,60 @@ class FusedSAMBank:
                     return a
                 return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
 
-            l, r, atail, env, _, _, _, dc, pll = sweep_lanes_chain(
-                padc(xr), padc(xi), padc(incs), padc(state.nco_phase),
-                w_sb, w_pbt,
-                padc(state.sb_tail[:, :128]), padc(state.sb_tail[:, 128:]),
-                padc(state.audio_tail), padc(state.agc_env),
-                stage="sam", chunk_t=sam_chunk,
-                agc_release=agc_params.release,
-                agc_target=agc_params.target,
-                agc_max_gain=agc_params.max_gain,
-                agc_enabled=bool(agc_params.enabled),
-                out_gain=float(out_gain), interpret=interpret
-                or jax.default_backend() == "cpu",
-                in_gain=float(in_gain), iq_balance=float(balance),
-                dc0=padc(state.sam_dc),
-                pll0=jnp.stack([state.sam_phase, state.sam_freq], axis=0),
-                sample_rate=fs,
-                precision=_PRECISIONS[config.matmul_precision])
+            def run_seg(carry, seg):
+                sxr, sxi, tr, ti = seg
+                phase, atail, env, dc, pll = carry
+                l, r, atail2, env2, _, _, _, dc2, pll2 = sweep_lanes_chain(
+                    padc(sxr), padc(sxi), padc(incs), padc(phase),
+                    w_sb, w_pbt,
+                    padc(tr), padc(ti), padc(atail), padc(env),
+                    stage="sam", chunk_t=sam_chunk,
+                    agc_release=agc_params.release,
+                    agc_target=agc_params.target,
+                    agc_max_gain=agc_params.max_gain,
+                    agc_enabled=bool(agc_params.enabled),
+                    out_gain=float(out_gain), interpret=interpret
+                    or jax.default_backend() == "cpu",
+                    in_gain=float(in_gain), iq_balance=float(balance),
+                    dc0=padc(dc), pll0=pll,
+                    sample_rate=fs,
+                    precision=_PRECISIONS[config.matmul_precision])
+                kseg = sxr.shape[-1]
+                carry2 = (phase + jnp.asarray(kseg, jnp.uint32)
+                          * incs.astype(jnp.uint32),
+                          atail2[:c], env2[:c], dc2[:c], pll2)
+                return carry2, (l[:c], r[:c])
+
+            carry0 = (state.nco_phase, state.audio_tail, state.agc_env,
+                      state.sam_dc,
+                      jnp.stack([state.sam_phase, state.sam_freq], axis=0))
+            tail_r0, tail_i0 = state.sb_tail[:, :128], state.sb_tail[:, 128:]
+            if n > _KSEG and n % _KSEG == 0:
+                n_seg = n // _KSEG
+                sxr = xr.reshape(c, n_seg, _KSEG).transpose(1, 0, 2)
+                sxi = xi.reshape(c, n_seg, _KSEG).transpose(1, 0, 2)
+                # raw-input framing tail per sub-segment: the previous
+                # sub-segment's last block (sweep-backend semantics)
+                tr = jnp.concatenate(
+                    [tail_r0[None], sxr[:-1, :, -128:]], axis=0)
+                ti = jnp.concatenate(
+                    [tail_i0[None], sxi[:-1, :, -128:]], axis=0)
+                carry, (ls, rs) = jax.lax.scan(
+                    run_seg, carry0, (sxr, sxi, tr, ti))
+                l = ls.transpose(1, 0, 2).reshape(c, n)
+                r = rs.transpose(1, 0, 2).reshape(c, n)
+            else:
+                carry, (l, r) = run_seg(carry0, (xr, xi, tail_r0, tail_i0))
+            phase, atail, env, dc, pll = carry
             new_state = FusedSAMBankState(
-                nco_phase=state.nco_phase
-                + jnp.asarray(n, jnp.uint32) * incs.astype(jnp.uint32),
+                nco_phase=phase,
                 # RAW input tail — re-scaled and re-mixed in-kernel
                 sb_tail=jnp.concatenate([xr[:, -128:], xi[:, -128:]], axis=-1),
-                audio_tail=atail[:c],
-                agc_env=env[:c],
-                sam_phase=pll[0], sam_freq=pll[1], sam_dc=dc[:c],
+                audio_tail=atail,
+                agc_env=env,
+                sam_phase=pll[0], sam_freq=pll[1], sam_dc=dc,
             )
-            return {"audio_l": l[:c], "audio_r": r[:c]}, new_state
+            return {"audio_l": l, "audio_r": r}, new_state
 
         self._fn = jax.jit(fn_fold if fold else fn)
         self._fold = fold

@@ -63,29 +63,73 @@ def _atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.where(y < 0.0, -t, t)
 
 
+# Shared-u^2 least-squares sin/cos polynomials on u = phase - pi, u in
+# [-pi, pi): |err| < 9e-7 in f32 — two generic transcendental lowerings
+# replaced by 13 FMAs on the PLL's serial critical path.
+_SIN_C = (9.999997070358e-1, -1.666657721752e-1, 8.33255813248e-3,
+          -1.981257592934e-4, 2.704051697171e-6, -2.053426506405e-8)
+_COS_C = (9.999999922852e-1, -4.999999177215e-1, 4.166652436402e-2,
+          -1.388797041112e-3, 2.477342417935e-5, -2.711337293093e-7,
+          1.73691328957e-9)
+
+
+def _sincos_wrapped(phase):
+    """(cos, sin) of ``phase`` in [0, 2*pi).
+
+    Evaluates on the centered u = phase - pi (cos(phase) = -cos(u),
+    sin(phase) = -sin(u)) so a single u^2 feeds both Horner chains."""
+    u = phase - np.float32(_PI)
+    u2 = u * u
+    s = np.float32(_SIN_C[-1])
+    for k in range(len(_SIN_C) - 2, -1, -1):
+        s = s * u2 + np.float32(_SIN_C[k])
+    c = np.float32(_COS_C[-1])
+    for k in range(len(_COS_C) - 2, -1, -1):
+        c = c * u2 + np.float32(_COS_C[k])
+    return -c, -(s * u)
+
+
+def _pll_step(zr, zi, phase, freq, *, kp, ki, max_freq):
+    """One exact PLL step. phase stays in [0, 2*pi) by conditional wrap
+    (the per-sample increment is bounded by max_freq + kp*pi << 2*pi), which
+    replaces mod's divide+floor on the serial chain and is the *more* exact
+    of the two. Returns (vr, phase', freq')."""
+    cr, ci = _sincos_wrapped(phase)
+    vr = zr * cr + zi * ci                     # z * conj(ref)
+    vi = zi * cr - zr * ci
+    err = _atan2_poly(vi, vr)
+    freq = jnp.clip(freq + np.float32(ki) * err,
+                    -np.float32(max_freq), np.float32(max_freq))
+    p = phase + freq + np.float32(kp) * err
+    p = jnp.where(p >= np.float32(_TWO_PI), p - np.float32(_TWO_PI), p)
+    p = jnp.where(p < 0.0, p + np.float32(_TWO_PI), p)
+    return vr, p, freq
+
+
 def _sam_kernel(zr_ref, zi_ref, phase_ref, freq_ref,
                 out_ref, phase_out_ref, freq_out_ref,
                 *, chunk: int, kp: float, ki: float, max_freq: float):
     """One chunk: zr/zi (chunk, C); phase/freq state (1, C)."""
 
-    def body(n, carry):
+    def body(m, carry):
         phase, freq = carry                    # (C,)
-        zr = zr_ref[n, :]
-        zi = zi_ref[n, :]
-        cr = jnp.cos(phase)
-        ci = jnp.sin(phase)
-        vr = zr * cr + zi * ci                 # z * conj(ref)
-        vi = zi * cr - zr * ci
-        err = _atan2_poly(vi, vr)
-        freq = jnp.clip(freq + np.float32(ki) * err,
-                        -np.float32(max_freq), np.float32(max_freq))
-        phase = jnp.mod(phase + freq + np.float32(kp) * err,
-                        np.float32(_TWO_PI))
-        out_ref[n, :] = vr
+        n = m * 2                              # 2 samples/iteration
+        vr0, phase, freq = _pll_step(zr_ref[n, :], zi_ref[n, :], phase, freq,
+                                     kp=kp, ki=ki, max_freq=max_freq)
+        out_ref[n, :] = vr0
+        vr1, phase, freq = _pll_step(zr_ref[n + 1, :], zi_ref[n + 1, :],
+                                     phase, freq,
+                                     kp=kp, ki=ki, max_freq=max_freq)
+        out_ref[n + 1, :] = vr1
         return (phase, freq)
 
     phase, freq = jax.lax.fori_loop(
-        0, chunk, body, (phase_ref[0, :], freq_ref[0, :]))
+        0, chunk // 2, body, (phase_ref[0, :], freq_ref[0, :]))
+    if chunk % 2:
+        vr, phase, freq = _pll_step(
+            zr_ref[chunk - 1, :], zi_ref[chunk - 1, :], phase, freq,
+            kp=kp, ki=ki, max_freq=max_freq)
+        out_ref[chunk - 1, :] = vr
     phase_out_ref[0, :] = phase
     freq_out_ref[0, :] = freq
 

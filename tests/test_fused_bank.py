@@ -307,3 +307,30 @@ def test_fused_fold_multigroup_lane_ceiling(rng):
         want.append(np.asarray(ob["audio_l"]))
     np.testing.assert_allclose(np.concatenate(got, axis=1),
                                np.concatenate(want, axis=1), atol=2e-3)
+
+
+def test_fused_sam_subsegment_scan_matches_single_kernel(rng):
+    """Segments longer than max_kernel_seg run the folded SAM kernel under an
+    internal lax.scan (the deployment backend cannot compile the stage="sam"
+    kernel above 2^16 samples); the scan path must equal the one-kernel path
+    exactly (same kernel, threaded state)."""
+    from radiodsp_sdr_rx_tpu.models.fused import FusedSAMBank
+
+    n = 8192
+    center = 7_050_000.0
+    freqs = [center + 2_000.0 * k for k in range(8)]
+    cfg = ReceiverConfig(mode=DemodMode.SAM, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM)
+    iq = ((rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n)))
+          .astype(np.complex64) * 0.2)
+    one = FusedSAMBank(cfg, freqs, sam_chunk=1024, interpret=True)
+    scan = FusedSAMBank(cfg, freqs, sam_chunk=1024, max_kernel_seg=2048,
+                        interpret=True)
+    out1, st1 = one.process(iq, one.init_state())
+    out2, st2 = scan.process(iq, scan.init_state())
+    np.testing.assert_allclose(np.asarray(out1["audio_l"]),
+                               np.asarray(out2["audio_l"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1["audio_r"]),
+                               np.asarray(out2["audio_r"]), atol=1e-6)
+    for a, b in zip(st1, st2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

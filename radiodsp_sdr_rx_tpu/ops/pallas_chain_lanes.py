@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radiodsp_sdr_rx_tpu.ops.lms import LMS_DELAY, _EPS
 from radiodsp_sdr_rx_tpu.ops.pallas_lms import _grouped_macro
-from radiodsp_sdr_rx_tpu.ops.pallas_sam import _pll_step
+from radiodsp_sdr_rx_tpu.ops.pallas_sam import _pll_loop
 from radiodsp_sdr_rx_tpu.ops.pallas_sweep import (
     _PHASE_SCALE, _env_lanes, _env_rows, _even_chunks, _iir_lanes, _iir_rows,
 )
@@ -204,28 +204,21 @@ def _lanes_chain_kernel(
     def sam_stage():
         """Second-order PLL over t_buf/t_buf2 = (chunk, C) zr/zi; in-phase
         product -> o_buf. Constants per ops/demod.demod_sam."""
-        def body(m, carry):
-            phase, freq = carry                    # (1, 128)
-            # 2-D pl.ds row slices (1, 128): keeps every loop value at the
-            # backend's native 2-D vector shape (1-D scalar-indexed loads
-            # also lower, but 2-D matches the rest of the kernel).
-            # 2 samples/iteration; _pll_step = polynomial sincos +
-            # conditional-wrap phase update (see ops/pallas_sam.py).
-            n = m * 2
-            vr0, phase, freq = _pll_step(
-                t_buf[pl.ds(n, 1), :], t_buf2[pl.ds(n, 1), :], phase, freq,
-                kp=pll_kp, ki=pll_ki, max_freq=pll_max_freq)
-            o_buf[pl.ds(n, 1), :] = vr0
-            vr1, phase, freq = _pll_step(
-                t_buf[pl.ds(n + 1, 1), :], t_buf2[pl.ds(n + 1, 1), :],
-                phase, freq,
-                kp=pll_kp, ki=pll_ki, max_freq=pll_max_freq)
-            o_buf[pl.ds(n + 1, 1), :] = vr1
-            return (phase, freq)
+        # 2-D pl.ds row slices (1, 128): keeps every loop value at the
+        # backend's native 2-D vector shape (1-D scalar-indexed loads also
+        # lower, but 2-D matches the rest of the kernel). _pll_loop =
+        # unrolled fori_loop over _pll_step (polynomial sincos +
+        # conditional-wrap phase update; see ops/pallas_sam.py).
+        def put(n, vr):
+            o_buf[pl.ds(n, 1), :] = vr
 
-        phase, freq = jax.lax.fori_loop(
-            0, chunk // 2, body,
-            (pll_st[pl.ds(0, 1), :], pll_st[pl.ds(1, 1), :]))
+        phase, freq = _pll_loop(
+            chunk,
+            lambda n: t_buf[pl.ds(n, 1), :],
+            lambda n: t_buf2[pl.ds(n, 1), :],
+            put,
+            pll_st[pl.ds(0, 1), :], pll_st[pl.ds(1, 1), :],
+            kp=pll_kp, ki=pll_ki, max_freq=pll_max_freq)
         pll_st[pl.ds(0, 1), :] = phase
         pll_st[pl.ds(1, 1), :] = freq
 

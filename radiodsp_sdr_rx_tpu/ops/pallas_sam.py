@@ -106,30 +106,46 @@ def _pll_step(zr, zi, phase, freq, *, kp, ki, max_freq):
     return vr, p, freq
 
 
+_PLL_UNROLL = 4
+
+
+def _pll_loop(chunk, get_zr, get_zi, put_vr, phase, freq,
+              *, kp, ki, max_freq, unroll: int = _PLL_UNROLL):
+    """Serial PLL over ``chunk`` samples, ``unroll`` samples per fori_loop
+    iteration (amortizes loop overhead on the latency-bound chain), static
+    tail for chunk % unroll. get/put are index->row accessors so both the
+    (chunk, C)-ref kernel and the lanes-chain scratch layout share this."""
+    main = chunk - chunk % unroll
+
+    def body(m, carry):
+        phase, freq = carry
+        n = m * unroll
+        for j in range(unroll):
+            vr, phase, freq = _pll_step(get_zr(n + j), get_zi(n + j),
+                                        phase, freq,
+                                        kp=kp, ki=ki, max_freq=max_freq)
+            put_vr(n + j, vr)
+        return (phase, freq)
+
+    phase, freq = jax.lax.fori_loop(0, main // unroll, body, (phase, freq))
+    for t in range(main, chunk):
+        vr, phase, freq = _pll_step(get_zr(t), get_zi(t), phase, freq,
+                                    kp=kp, ki=ki, max_freq=max_freq)
+        put_vr(t, vr)
+    return phase, freq
+
+
 def _sam_kernel(zr_ref, zi_ref, phase_ref, freq_ref,
                 out_ref, phase_out_ref, freq_out_ref,
                 *, chunk: int, kp: float, ki: float, max_freq: float):
     """One chunk: zr/zi (chunk, C); phase/freq state (1, C)."""
 
-    def body(m, carry):
-        phase, freq = carry                    # (C,)
-        n = m * 2                              # 2 samples/iteration
-        vr0, phase, freq = _pll_step(zr_ref[n, :], zi_ref[n, :], phase, freq,
-                                     kp=kp, ki=ki, max_freq=max_freq)
-        out_ref[n, :] = vr0
-        vr1, phase, freq = _pll_step(zr_ref[n + 1, :], zi_ref[n + 1, :],
-                                     phase, freq,
-                                     kp=kp, ki=ki, max_freq=max_freq)
-        out_ref[n + 1, :] = vr1
-        return (phase, freq)
+    def put(n, vr):
+        out_ref[n, :] = vr
 
-    phase, freq = jax.lax.fori_loop(
-        0, chunk // 2, body, (phase_ref[0, :], freq_ref[0, :]))
-    if chunk % 2:
-        vr, phase, freq = _pll_step(
-            zr_ref[chunk - 1, :], zi_ref[chunk - 1, :], phase, freq,
-            kp=kp, ki=ki, max_freq=max_freq)
-        out_ref[chunk - 1, :] = vr
+    phase, freq = _pll_loop(
+        chunk, lambda n: zr_ref[n, :], lambda n: zi_ref[n, :], put,
+        phase_ref[0, :], freq_ref[0, :], kp=kp, ki=ki, max_freq=max_freq)
     phase_out_ref[0, :] = phase
     freq_out_ref[0, :] = freq
 

@@ -74,7 +74,9 @@ def main() -> None:
         bank = ReceiverBank(cfg, freqs)
         path = "xla"
     else:
-        bank = FusedSSBBank(cfg, freqs, block_t=8192, backend="sweep")
+        # block_t sweep on-chip (2026-08-20): 8192 -> 5911, 16384 -> 6034,
+        # 32768 -> 6012 Ms/s; 16384 matches 8192's checksum exactly
+        bank = FusedSSBBank(cfg, freqs, block_t=16384, backend="sweep")
         path = "sweep"
     state = jax.device_put(bank.init_state())
 

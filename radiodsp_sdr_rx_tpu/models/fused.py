@@ -210,17 +210,25 @@ class FusedNRBank:
     """
 
     def __init__(self, config: ReceiverConfig, freqs_hz,
-                 block_c: int = 8, block_t: int = 4096,
+                 block_c: int = 8, block_t: int = 8192,
                  lms_chunk: int = 4096,
                  fold: bool = True,
                  fold_chunk: int = 1024,
                  fold_group: int = 16,
+                 kernel_precision: str | None = "high",
                  interpret: bool = False):
         """``fold=True`` (default) runs NR stages folded INTO the single-sweep
         kernel where a folded kernel exists (spectral:
         ops/pallas_sweep_spec.sweep_spec_chain — one kernel, no extra HBM
         round-trips); ``fold=False`` keeps the staged sweep+XLA pipeline
-        (also the parity oracle in tests/test_fused_bank.py)."""
+        (also the parity oracle in tests/test_fused_bank.py).
+
+        ``kernel_precision`` sets the FOLDED kernels' MXU matmul passes and
+        defaults to "high" (bf16x3, ~107 dB SNR vs the f32 oracle — above the
+        reference's ~90 dB q15 boundary, docs/PERFORMANCE.md) — the measured
+        production sweet spot (round 4: config 4 1.5->2.0 Gs/s). None follows
+        config.matmul_precision (the XLA/staged paths' knob) for bit-level
+        oracle comparisons."""
         from radiodsp_sdr_rx_tpu.ops import lms as lms_ops
         from radiodsp_sdr_rx_tpu.ops.pallas_lms import LANES
 
@@ -259,6 +267,7 @@ class FusedNRBank:
         c = self.n_channels
         from radiodsp_sdr_rx_tpu.models.receiver import _PRECISIONS
         prec = _PRECISIONS[config.matmul_precision]
+        fold_prec = _PRECISIONS[kernel_precision or config.matmul_precision]
 
         def run_lms(audio, state: FusedNRBankState, lms_mode: str):
             from radiodsp_sdr_rx_tpu.ops.pallas_lms import lms_nr_run_pallas
@@ -312,7 +321,7 @@ class FusedNRBank:
                 mu=float(lms_ops.lms_mu_from_strength(
                     config.nr.level if config.nr.level > 0 else 20)),
                 chunk_t=fold_chunk, group=fold_group,
-                precision=_PRECISIONS[config.matmul_precision])
+                precision=fold_prec)
             l = l[:c]
             r = l if kind == "lms" else r[:c]   # mono copy R<-L for DNR
             new_state = FusedNRBankState(
@@ -363,7 +372,7 @@ class FusedNRBank:
                 out_gain=float(out_gain),
                 block_c=block_c, chunk_t=block_t, interpret=interpret,
                 in_gain=float(in_gain), iq_balance=float(balance),
-                precision=_PRECISIONS[config.matmul_precision])
+                precision=fold_prec)
             new_state = FusedNRBankState(
                 nco_phase=state.nco_phase
                 + jnp.asarray(n, jnp.uint32) * incs.astype(jnp.uint32),
@@ -504,6 +513,7 @@ class FusedSAMBank:
                  sam_chunk: int | None = None,
                  max_kernel_seg: int = 1 << 16,
                  fold: bool = True,
+                 kernel_precision: str | None = "high",
                  interpret: bool = False):
         """``fold=True`` (default) runs the WHOLE SAM chain in one kernel
         (ops/pallas_chain_lanes.sweep_lanes_chain stage="sam": band-pass
@@ -548,6 +558,7 @@ class FusedSAMBank:
         balance = np.float32(config.iq_gain_balance)
         fs = config.sample_rate
         c = self.n_channels
+        fold_prec = _PRECISIONS[kernel_precision or config.matmul_precision]
 
         def fn(state: FusedSAMBankState, xr, xi, incs, w_sb, w_pbt):
             from radiodsp_sdr_rx_tpu.ops import planar
@@ -623,7 +634,7 @@ class FusedSAMBank:
                     in_gain=float(in_gain), iq_balance=float(balance),
                     dc0=padc(dc), pll0=pll,
                     sample_rate=fs,
-                    precision=_PRECISIONS[config.matmul_precision])
+                    precision=fold_prec)
                 kseg = sxr.shape[-1]
                 carry2 = (phase + jnp.asarray(kseg, jnp.uint32)
                           * incs.astype(jnp.uint32),

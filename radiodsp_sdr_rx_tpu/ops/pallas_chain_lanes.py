@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from radiodsp_sdr_rx_tpu.ops.lms import LMS_DELAY, _EPS
+from radiodsp_sdr_rx_tpu.ops.mxu import mxu_dot
 from radiodsp_sdr_rx_tpu.ops.pallas_lms import _grouped_macro
 from radiodsp_sdr_rx_tpu.ops.pallas_sam import _pll_loop
 from radiodsp_sdr_rx_tpu.ops.pallas_sweep import (
@@ -58,17 +59,36 @@ LANES = 128
 _TWO_PI = float(2.0 * np.pi)
 
 
-def _transpose_mxu(x: jax.Array, ident: jax.Array) -> jax.Array:
-    """(128, 128) tile transpose as one MXU matmul: out[m, i] = x[i, m].
+def _transpose_mxu(x: jax.Array, ident: jax.Array,
+                   passes: int = 3) -> jax.Array:
+    """(128, 128) tile transpose as MXU matmuls: out[m, i] = x[i, m], EXACT
+    at passes=3; ~1e-5 relative (16-bit mantissa) at passes=2.
 
-    Always HIGHEST precision: a transpose is data movement — at the default
-    1-pass bf16 it would ROUND every value to 8 mantissa bits (4e-3 relative)
-    on each layout change, which the SAM PLL's phase recurrence then amplifies
-    to O(1) output error (chip-bisected root cause, round 3)."""
-    return jax.lax.dot_general(
-        x, ident, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    A transpose is data movement — at the default 1-pass bf16 it would ROUND
+    every value to 8 mantissa bits (4e-3 relative) on each layout change,
+    which the SAM PLL's phase recurrence then amplifies to O(1) output error
+    (chip-bisected root cause, round 3). Round 3 used Precision.HIGHEST
+    (6 bf16 passes); but because the OTHER operand is the identity — exact in
+    bf16, with zero low part — splitting only the data side into three
+    non-overlapping bf16 terms x = x1 + x2 + x3 (8+8+8 >= 24 mantissa bits)
+    and summing the three 1-pass products reconstructs the f32 value
+    EXACTLY in half the MXU passes: every product is bf16*1.0 or bf16*0.0
+    (exact in the f32 accumulator) and the final f32 sums of non-overlapping
+    parts are exact."""
+    dims = (((0,), (0,)), ((), ()))
+    ident16 = ident.astype(jnp.bfloat16)   # exact: entries are 0.0 / 1.0
+
+    def dd(a):
+        return jax.lax.dot_general(a, ident16, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+
+    x1 = x.astype(jnp.bfloat16)
+    r1 = x - x1.astype(jnp.float32)
+    x2 = r1.astype(jnp.bfloat16)
+    if passes == 2:
+        return dd(x1) + dd(x2)
+    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (dd(x1) + dd(x2)) + dd(x3)
 
 
 def _lanes_chain_kernel(
@@ -79,7 +99,7 @@ def _lanes_chain_kernel(
     w_lms_out, win_lms_out, delay_out, dcx_out_ref, dcy_out_ref, pll_out_ref,
     buf_r, buf_i, buf_l, buf_ro, sem_r, sem_i, sem_l, sem_ro,
     tail_r, tail_i, audio_tail, env_carry,
-    t_buf, d_buf, o_buf, lms_w, lms_win, lms_prev, dcx, dcy, pll_st, t_buf2,
+    t_buf, d_buf, lms_w, lms_win, lms_prev, dcx, dcy, pll_st, t_buf2,
     *, chunk_nb: int, n_chunks: int, out_gain: float,
     agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, stage: str, mu: float, group: int, taps: int,
@@ -111,6 +131,19 @@ def _lanes_chain_kernel(
                 xi_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
                 buf_i.at[slot], sem_i.at[slot]),
         )
+
+    def dma_out(t):
+        """Store DMAs for chunk ``t`` (single staging slot, deferred wait)."""
+        outs = [pltpu.make_async_copy(
+            buf_l.at[0],
+            l_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+            sem_l.at[0])]
+        if stage != "denoise":
+            outs.append(pltpu.make_async_copy(
+                buf_ro.at[0],
+                r_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
+                sem_ro.at[0]))
+        return outs
 
     inc = inc_ref[:][:, :, None]
     ph0 = phase0_ref[:][:, :, None]
@@ -158,59 +191,78 @@ def _lanes_chain_kernel(
             if dc_pole < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
         pole128 = float(np.float64(dc_pole) ** 128)
 
+    # 2 transpose passes (16-bit exact) suffice for the LMS audio path at the
+    # production "high" precision; the SAM PLL phase recurrence always needs
+    # the full-f32 3-pass form (round-3 chip bisect: layout-change rounding
+    # there amplifies to O(1) output error), and HIGHEST (the exact-oracle
+    # mode) keeps the transposes exact too.
+    tr_passes = 3 if (stage == "sam"
+                      or precision == jax.lax.Precision.HIGHEST) else 2
+
     def to_lanes(x3, out_ref):
         """(128, nb, 128) value -> (nb*128 time, 128 ch) scratch via MXU."""
         ident = ident_ref[:]
         for j in range(chunk_nb):
             out_ref[j * 128:(j + 1) * 128, :] = _transpose_mxu(
-                x3[:, j, :], ident)
+                x3[:, j, :], ident, passes=tr_passes)
 
     def from_lanes(in_ref):
         """(nb*128, 128 ch) scratch -> (128, nb, 128) value via MXU."""
         ident = ident_ref[:]
         blocks = [
-            _transpose_mxu(in_ref[j * 128:(j + 1) * 128, :], ident)[:, None, :]
+            _transpose_mxu(in_ref[j * 128:(j + 1) * 128, :], ident,
+                           passes=tr_passes)[:, None, :]
             for j in range(chunk_nb)
         ]
         return jnp.concatenate(blocks, axis=1)
 
     def lms_stage(t):
-        """Grouped NLMS over t_buf (chunk, C); y->o_buf ("denoise") or
-        e->o_buf ("notch"). Desired = 128-sample-delayed stream
-        (RDSP_noise_reduction.h:66-80 semantics via ops/lms.py)."""
+        """Grouped NLMS over t_buf (chunk, C); the output (y for "denoise",
+        e for "notch") goes to d_buf. The 128-sample-delayed desired stream
+        (RDSP_noise_reduction.h:66-80 semantics via ops/lms.py) is read
+        DIRECTLY from the pristine t_buf (this chunk, 128 rows back) or
+        lms_prev (previous chunk's last 128 input rows) — no chunk-sized
+        staging copy. First-block quirk: the stream's very first 128 samples
+        predict themselves."""
         first = flags_ref[0, 0]
-        d_buf[0:128, :] = jnp.where(
-            jnp.logical_and(first > 0.5, t == 0),
-            t_buf[0:128, :], lms_prev[:])
-        if chunk > 128:
-            d_buf[128:chunk, :] = t_buf[0:chunk - 128, :]
-        lms_prev[:] = t_buf[chunk - 128:chunk, :]
+        nfirst = 128 // group   # macro steps whose desired predates the chunk
 
         def macro(m, carry):
             w, win = carry
             xs = t_buf[pl.ds(m * group, group), :]
-            ds = d_buf[pl.ds(m * group, group), :]
+            off = jnp.maximum(m * group - 128, 0)
+            d_cur = t_buf[pl.ds(off, group), :]
+            poff = jnp.minimum(m * group, 128 - group)
+            d_prev = lms_prev[pl.ds(poff, group), :]
+            ds = jnp.where(m < nfirst,
+                           jnp.where(jnp.logical_and(first > 0.5, t == 0),
+                                     xs, d_prev),
+                           d_cur)
             tile = jnp.concatenate([win, xs], axis=0)
             y, e, w = _grouped_macro(tile, ds, w, np.float32(mu),
                                      taps=taps, group=group)
-            o_buf[pl.ds(m * group, group), :] = y if stage == "denoise" else e
+            d_buf[pl.ds(m * group, group), :] = y if stage == "denoise" else e
             return (w, tile[group:, :])
 
         w, win = jax.lax.fori_loop(0, chunk // group, macro,
                                    (lms_w[:], lms_win[:]))
         lms_w[:] = w
         lms_win[:] = win
+        lms_prev[:] = t_buf[chunk - 128:chunk, :]
 
     def sam_stage():
-        """Second-order PLL over t_buf/t_buf2 = (chunk, C) zr/zi; in-phase
-        product -> o_buf. Constants per ops/demod.demod_sam."""
+        """Second-order PLL over t_buf/t_buf2 = (chunk, C) zr/zi; the
+        in-phase product overwrites t_buf IN PLACE (each zr row is read by
+        its own PLL step before that step stores vr to the same row — exact,
+        and saves a chunk-sized VMEM buffer). Constants per
+        ops/demod.demod_sam."""
         # 2-D pl.ds row slices (1, 128): keeps every loop value at the
         # backend's native 2-D vector shape (1-D scalar-indexed loads also
         # lower, but 2-D matches the rest of the kernel). _pll_loop =
         # unrolled fori_loop over _pll_step (polynomial sincos +
         # conditional-wrap phase update; see ops/pallas_sam.py).
         def put(n, vr):
-            o_buf[pl.ds(n, 1), :] = vr
+            t_buf[pl.ds(n, 1), :] = vr
 
         phase, freq = _pll_loop(
             chunk,
@@ -241,10 +293,8 @@ def _lanes_chain_kernel(
         prev_a = jnp.concatenate(
             [audio_tail[:][:, None, :], audio_g[:, :-1, :]], axis=1)
         frames2 = jnp.concatenate([prev_a, audio_g], axis=-1)
-        lr = jax.lax.dot_general(
-            frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+        lr = mxu_dot(
+            frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:], precision,
         ).reshape(cb, chunk_nb, 256)
         audio_tail[:] = audio_g[:, chunk_nb - 1, :]
         return lr
@@ -277,20 +327,19 @@ def _lanes_chain_kernel(
         prev_i = jnp.concatenate([tail_i[:][:, None, :], bi[:, :-1, :]], axis=1)
         frames = jnp.concatenate([prev_r, br, prev_i, bi], axis=-1)
         w_out = 256 if stage == "sam" else 128
-        y = jax.lax.dot_general(
-            frames.reshape(cb * chunk_nb, 512), w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+        y = mxu_dot(
+            frames.reshape(cb * chunk_nb, 512), w_ref[:], precision,
         ).reshape(cb, chunk_nb, w_out)
         tail_r[:] = br[:, chunk_nb - 1, :]
         tail_i[:] = bi[:, chunk_nb - 1, :]
 
         if stage == "sam":
-            # band-passed planar IQ -> lanes, PLL, back, then DC blocker
+            # band-passed planar IQ -> lanes, PLL (in place over t_buf),
+            # back, then DC blocker
             to_lanes(y[..., :128], t_buf)
             to_lanes(y[..., 128:], t_buf2)
             sam_stage()
-            env = from_lanes(o_buf)
+            env = from_lanes(t_buf)
             # DC blocker y[n] = env[n]-env[n-1] + pole*y[n-1] as decaying-sum
             # doubling scan (same construction as pallas_sweep AM demod)
             shifted = jnp.concatenate(
@@ -317,8 +366,15 @@ def _lanes_chain_kernel(
         elif stage == "notch":
             to_lanes(y, t_buf)
             lms_stage(t)
-            audio = from_lanes(o_buf)
+            audio = from_lanes(d_buf)
             audio_g = agc_block(audio)
+            lr = pbt_block(audio_g)
+            out_l = lr[..., :128]
+            out_r = lr[..., 128:]
+        elif stage == "none":
+            # no adaptive stage: the plain SSB chain on the lanes skeleton
+            # (perf reference for the folded variants; parity = sweep_full_chain)
+            audio_g = agc_block(y)
             lr = pbt_block(audio_g)
             out_l = lr[..., :128]
             out_r = lr[..., 128:]
@@ -327,24 +383,23 @@ def _lanes_chain_kernel(
             lr = pbt_block(audio_g)
             to_lanes(lr[..., :128], t_buf)
             lms_stage(t)
-            out_l = from_lanes(o_buf) * np.float32(1.1)
+            out_l = from_lanes(d_buf) * np.float32(1.1)
             out_r = None
 
-        buf_l[slot] = out_l * out_gain
-        dl = pltpu.make_async_copy(
-            buf_l.at[slot],
-            l_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
-            sem_l.at[slot])
-        dl.start()
+        # single-slot output staging with a DEFERRED wait: chunk t's store
+        # DMA drains while chunk t+1 computes; we only block right before
+        # overwriting the staging buffer (or after the loop, for the last
+        # chunk) — halves the output VMEM vs a 2-slot ring AND overlaps the
+        # store with compute (the old code waited inline every chunk).
+        @pl.when(t > 0)
+        def _():
+            for d in dma_out(t - 1):
+                d.wait()
+        buf_l[0] = out_l * out_gain
         if out_r is not None:
-            buf_ro[slot] = out_r * out_gain
-            dr = pltpu.make_async_copy(
-                buf_ro.at[slot],
-                r_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
-                sem_ro.at[slot])
-            dr.start()
-            dr.wait()
-        dl.wait()
+            buf_ro[0] = out_r * out_gain
+        for d in dma_out(t):
+            d.start()
 
     def body(u, _):
         process(2 * u, 0)
@@ -354,6 +409,8 @@ def _lanes_chain_kernel(
     jax.lax.fori_loop(0, n_chunks // 2, body, 0)
     if n_chunks % 2:
         process(n_chunks - 1, 0)
+    for d in dma_out(n_chunks - 1):   # drain the last chunk's store
+        d.wait()
 
     atail_out_ref[:] = audio_tail[:]
     env_out_ref[:] = env_carry[:]
@@ -419,7 +476,7 @@ def sweep_lanes_chain(
     (audio_l, audio_r_or_None, audio_tail', env', lms_w', lms_win',
     lms_delay_block', dc', pll') — unused state slots return zeros.
     """
-    if stage not in ("denoise", "notch", "sam"):
+    if stage not in ("denoise", "notch", "sam", "none"):
         raise ValueError(stage)
     c, n = xr.shape
     if c % LANES:
@@ -489,9 +546,13 @@ def sweep_lanes_chain(
                        memory_space=pltpu.VMEM)
     ident = jnp.eye(128, dtype=jnp.float32)
     buf = pltpu.VMEM((2, LANES, chunk_nb, 128), jnp.float32)
-    buf_ro = buf if emit_r else pltpu.VMEM((2, 1, 1, 128), jnp.float32)
+    # output staging is SINGLE-slot (deferred wait in the kernel) — the input
+    # ring stays 2-slot for prefetch; this is what lets chunk_t 2048+ fit VMEM
+    buf_lo = pltpu.VMEM((1, LANES, chunk_nb, 128), jnp.float32)
+    buf_ro = buf_lo if emit_r else pltpu.VMEM((1, 1, 1, 128), jnp.float32)
     r_blocks = n // 128 if emit_r else 1
     sem = pltpu.SemaphoreType.DMA((2,))
+    sem1 = pltpu.SemaphoreType.DMA((1,))
     cvec = pltpu.VMEM((LANES, 128), jnp.float32)
     tchunk = pltpu.VMEM((chunk_t, 128), jnp.float32)
     outs = pl.pallas_call(
@@ -526,11 +587,11 @@ def sweep_lanes_chain(
             jax.ShapeDtypeStruct((2, c), jnp.float32),
         ],
         scratch_shapes=[
-            buf, buf, buf, buf_ro, sem, sem, sem, sem,
+            buf, buf, buf_lo, buf_ro, sem, sem, sem1, sem1,
             cvec, cvec, cvec, cvec,
             tchunk,                                      # t_buf (all stages)
-            tchunk if lms else pltpu.VMEM((8, 128), jnp.float32),  # d_buf
-            tchunk,                                      # o_buf
+            # d_buf: lms delayed-desired, overwritten in place by the output
+            tchunk if lms else pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((taps, 128), jnp.float32),
             pltpu.VMEM((taps, 128), jnp.float32),
             pltpu.VMEM((128, 128), jnp.float32),

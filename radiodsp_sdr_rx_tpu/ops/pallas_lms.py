@@ -153,13 +153,18 @@ def _grouped_macro(tile, ds, w, mu, *, taps: int, group: int):
     U = group
     c = tile.shape[1]
 
-    # sliding passes: predictions and lag-0..U-1 correlations of win_0
-    r0 = jnp.zeros((U, c), jnp.float32)
-    preds = jnp.zeros((U, c), jnp.float32)
+    # sliding passes: predictions and lag-0..U-1 correlations of win_0.
+    # FOUR independent accumulators per quantity: a single accumulator makes
+    # the taps-long FMA loop one serial dependency chain, capping the VPU at
+    # ~1 vector op per FMA latency; interleaved partials expose ILP.
+    acc_r = [jnp.zeros((U, c), jnp.float32) for _ in range(4)]
+    acc_p = [jnp.zeros((U, c), jnp.float32) for _ in range(4)]
     for i in range(taps):
         sl = tile[1 + i:1 + i + U, :]                 # (U, C) static slice
-        r0 = r0 + tile[1 + i:2 + i, :] * sl
-        preds = preds + w[i:i + 1, :] * sl
+        acc_r[i % 4] = acc_r[i % 4] + tile[1 + i:2 + i, :] * sl
+        acc_p[i % 4] = acc_p[i % 4] + w[i:i + 1, :] * sl
+    r0 = (acc_r[0] + acc_r[1]) + (acc_r[2] + acc_r[3])
+    preds = (acc_p[0] + acc_p[1]) + (acc_p[2] + acc_p[3])
 
     # energies: energy_k = ||win_k||^2 = r0[0] + cumsum(sq[taps+i] - sq[i])
     sq = tile * tile
@@ -208,9 +213,15 @@ def _grouped_macro(tile, ds, w, mu, *, taps: int, group: int):
         for l in range(k + 1, U):
             y_rows[l] = y_rows[l] + c_k * r[(k, l)]
 
-    # one weight update per group: w' = w + sum_k c_k win_k
+    # one weight update per group: w' = w + sum_k c_k win_k (4 independent
+    # partial deltas — same ILP rationale as the sliding passes above)
+    acc_w = [None, None, None, None]
     for k in range(U):
-        w = w + c_rows[k] * tile[k + 1:k + 1 + taps, :]
+        term = c_rows[k] * tile[k + 1:k + 1 + taps, :]
+        acc_w[k % 4] = term if acc_w[k % 4] is None else acc_w[k % 4] + term
+    for a in acc_w:
+        if a is not None:
+            w = w + a
 
     return (jnp.concatenate(y_rows, axis=0),
             jnp.concatenate(e_rows, axis=0), w)

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from radiodsp_sdr_rx_tpu.ops.mxu import mxu_dot
+
 _PHASE_SCALE = np.float32(2.0 * np.pi / 4294967296.0)
 
 
@@ -374,11 +376,9 @@ def _chain_kernel(
         prev_r = jnp.concatenate([tail_r[:][:, None, :], br[:, :-1, :]], axis=1)
         prev_i = jnp.concatenate([tail_i[:][:, None, :], bi[:, :-1, :]], axis=1)
         frames = jnp.concatenate([prev_r, br, prev_i, bi], axis=-1)
-        y = jax.lax.dot_general(
-            frames.reshape(cb * chunk_nb, 512), w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).reshape(cb, chunk_nb, w_out)
+        y = mxu_dot(
+            frames.reshape(cb * chunk_nb, 512), w_ref[:], precision,
+            ).reshape(cb, chunk_nb, w_out)
         tail_r[:] = br[:, chunk_nb - 1, :]
         tail_i[:] = bi[:, chunk_nb - 1, :]
 
@@ -435,11 +435,9 @@ def _chain_kernel(
         prev_a = jnp.concatenate(
             [audio_tail[:][:, None, :], audio_g[:, :-1, :]], axis=1)
         frames2 = jnp.concatenate([prev_a, audio_g], axis=-1)
-        lr = jax.lax.dot_general(
-            frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).reshape(cb, chunk_nb, 256)
+        lr = mxu_dot(
+            frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:], precision,
+            ).reshape(cb, chunk_nb, 256)
         audio_tail[:] = audio_g[:, chunk_nb - 1, :]
 
         buf_l[slot] = lr[..., :128] * out_gain

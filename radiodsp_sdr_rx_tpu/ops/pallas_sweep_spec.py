@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from radiodsp_sdr_rx_tpu.ops.mxu import mxu_dot
 from radiodsp_sdr_rx_tpu.ops.pallas_sweep import (
     _PHASE_SCALE, _env_lanes, _env_rows, _even_chunks, _iir_rows,
 )
@@ -144,12 +145,9 @@ def _spec_chain_kernel(
         prev_r = jnp.concatenate([tail_r[:][:, None, :], br[:, :-1, :]], axis=1)
         prev_i = jnp.concatenate([tail_i[:][:, None, :], bi[:, :-1, :]], axis=1)
         frames = jnp.concatenate([prev_r, br, prev_i, bi], axis=-1)
-        audio = jax.lax.dot_general(
-            frames.reshape(cb * chunk_nb, 512), w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).reshape(cb, chunk_nb, 128)
+        audio = mxu_dot(
+            frames.reshape(cb * chunk_nb, 512), w_ref[:], precision,
+            ).reshape(cb, chunk_nb, 128)
         tail_r[:] = br[:, chunk_nb - 1, :]
         tail_i[:] = bi[:, chunk_nb - 1, :]
 
@@ -173,12 +171,9 @@ def _spec_chain_kernel(
         prev_a = jnp.concatenate(
             [audio_tail[:][:, None, :], audio_g[:, :-1, :]], axis=1)
         frames2 = jnp.concatenate([prev_a, audio_g], axis=-1)
-        lr = jax.lax.dot_general(
-            frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).reshape(cb, chunk_nb, 256)
+        lr = mxu_dot(
+            frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:], precision,
+            ).reshape(cb, chunk_nb, 256)
         audio_tail[:] = audio_g[:, chunk_nb - 1, :]
         l = lr[..., :128]
         r = lr[..., 128:]
@@ -188,12 +183,9 @@ def _spec_chain_kernel(
         prev_l = jnp.concatenate([st_l[:][:, None, :], l[:, :-1, :]], axis=1)
         prev_rr = jnp.concatenate([st_r[:][:, None, :], r[:, :-1, :]], axis=1)
         ff = jnp.concatenate([prev_l, l, prev_rr, r], axis=-1)  # (cb, nb, 512)
-        spec = jax.lax.dot_general(
-            ff.reshape(cb * chunk_nb, 512), wsf_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).reshape(cb, chunk_nb, 512)
+        spec = mxu_dot(
+            ff.reshape(cb * chunk_nb, 512), wsf_ref[:], precision,
+            ).reshape(cb, chunk_nb, 512)
         st_l[:] = l[:, chunk_nb - 1, :]
         st_r[:] = r[:, chunk_nb - 1, :]
         sr = spec[..., :256]
@@ -217,12 +209,9 @@ def _spec_chain_kernel(
         scale = jnp.where(mag <= nf, np.float32(UNDER_FLOOR_GAIN),
                           1.0 - nf / jnp.maximum(mag, np.float32(1e-20)))
         s2 = jnp.concatenate([sr * scale, si * scale], axis=-1)
-        ylr = jax.lax.dot_general(
-            s2.reshape(cb * chunk_nb, 512), wsi_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).reshape(cb, chunk_nb, 256)
+        ylr = mxu_dot(
+            s2.reshape(cb * chunk_nb, 512), wsi_ref[:], precision,
+            ).reshape(cb, chunk_nb, 256)
 
         buf_l[slot] = ylr[..., :128] * out_gain
         dl = pltpu.make_async_copy(

@@ -282,7 +282,14 @@ def test_fused_fold_multigroup_lane_ceiling(rng):
     cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=freqs[0],
                          capture_center_freq=center, agc=AGCMode.MEDIUM,
                          nr=NRMode.DNR2)
-    fused = FusedNRBank(cfg, freqs, fold_chunk=1024, interpret=True)
+    # kernel_precision=None: exact-oracle mode for this MECHANICS test (two
+    # lane groups). Tolerance is looser than the single-group parity tests:
+    # the kernel's ILP-split accumulators (ops/pallas_lms._grouped_macro,
+    # round 4) reassociate f32 sums vs the XLA oracle, and the adapting NLMS
+    # feedback amplifies that last-ulp difference past 2e-3 on a handful of
+    # transient samples (~0.007% at this seed, max ~9e-3).
+    fused = FusedNRBank(cfg, freqs, fold_chunk=1024, interpret=True,
+                        kernel_precision=None)
     bank = ReceiverBank(cfg, freqs)
     st_f, st_b = fused.init_state(), bank.init_state()
     got, want = [], []
@@ -292,7 +299,7 @@ def test_fused_fold_multigroup_lane_ceiling(rng):
         got.append(np.asarray(of["audio_l"]))
         want.append(np.asarray(ob["audio_l"]))
     np.testing.assert_allclose(np.concatenate(got, axis=1),
-                               np.concatenate(want, axis=1), atol=2e-3)
+                               np.concatenate(want, axis=1), atol=2e-2)
 
     cfg_s = ReceiverConfig(mode=DemodMode.SAM, vfo_freq=freqs[0],
                            capture_center_freq=center, agc=AGCMode.MEDIUM)

@@ -303,7 +303,12 @@ def test_fused_fold_multigroup_lane_ceiling(rng):
 
     cfg_s = ReceiverConfig(mode=DemodMode.SAM, vfo_freq=freqs[0],
                            capture_center_freq=center, agc=AGCMode.MEDIUM)
-    fused_s = FusedSAMBank(cfg_s, freqs, interpret=True)
+    # exact-oracle mode: on NOISE input the PLL accumulates (rather than
+    # contracts) last-ulp perturbations, so the f32-oracle comparison needs
+    # matmul-exact kernels; the locked-carrier test above covers the
+    # production "high" default, where the loop contracts.
+    fused_s = FusedSAMBank(cfg_s, freqs, interpret=True,
+                           kernel_precision=None)
     bank_s = ReceiverBank(cfg_s, freqs)
     st_f, st_b = fused_s.init_state(), bank_s.init_state()
     got, want = [], []

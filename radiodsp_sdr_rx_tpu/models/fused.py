@@ -186,11 +186,16 @@ class FusedNRBankState(NamedTuple):
     nfloor: jax.Array       # (C,) f32 spectral-subtraction noise-floor carry
     spec_tail_l: jax.Array  # (C, 128) f32 spectral-subtraction frame carries
     spec_tail_r: jax.Array  # (C, 128) f32
+    dc: jax.Array           # (C, 2) f32 AM/SAM DC-blocker carry
+    pll: jax.Array          # (2, lanes) f32 SAM PLL [phase | freq]
 
 
 class FusedNRBank:
-    """Many-channel SSB receiver with a noise-reduction stage, on the Pallas
-    fast paths. Covers the three reference NR engines (VERDICT r1 #3):
+    """Many-channel receiver with a noise-reduction stage, on the Pallas
+    fast paths — EVERY reference mode (SSB/CW, AM, SAM) x NR engine combo
+    (the reference applies NR to every mode's audio,
+    RadioDSP_SDR_RX.ino:198). Covers the three reference NR engines
+    (VERDICT r1 #3; AM/SAM folding is round 4 / VERDICT r3 #3):
 
       - nr.kind == "lms" (DNR1-4): whole linear chain in the single-sweep
         kernel (mono), then the cross-channel Pallas LMS denoiser + x1.1
@@ -232,14 +237,21 @@ class FusedNRBank:
         from radiodsp_sdr_rx_tpu.ops import lms as lms_ops
         from radiodsp_sdr_rx_tpu.ops.pallas_lms import LANES
 
-        if config.mode in (DemodMode.AM, DemodMode.SAM):
-            raise ValueError("FusedNRBank covers SSB modes; use ReceiverBank")
         if config.nr.kind not in ("lms", "spectral", "notch"):
             raise ValueError("FusedNRBank needs an NR config; use "
                              "FusedSSBBank for nr=off")
         if config.noise_blanker:
             raise ValueError("noise-blanker configs use ReceiverBank")
-        fold_lanes = fold and config.nr.kind in ("lms", "notch")
+        demod = {DemodMode.AM: "am", DemodMode.SAM: "sam"}.get(
+            config.mode, "ssb")
+        if demod != "ssb" and not fold:
+            raise ValueError("AM/SAM + NR run on the folded lanes kernel "
+                             "(fold=True); the staged oracle is ReceiverBank")
+        self._demod = demod
+        # the lanes kernel serves: lms/notch for every mode, and spectral
+        # for AM/SAM (ssb+spectral keeps the faster ch-major spec kernel)
+        fold_lanes = fold and (config.nr.kind in ("lms", "notch")
+                               or demod != "ssb")
         if len(freqs_hz) > LANES and not fold_lanes:
             raise ValueError(f"FusedNRBank supports <= {LANES} channels on "
                              "the staged path (fold=True lifts the ceiling)")
@@ -301,12 +313,23 @@ class FusedNRBank:
                     return a
                 return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
 
-            l, r, atail, env, w2, win2, dly2, _, _ = sweep_lanes_chain(
+            nr_name = {"lms": "denoise", "notch": "notch",
+                       "spectral": "spectral"}[kind]
+            spec_kw = {}
+            if kind == "spectral":
+                spec_kw = dict(
+                    w_spec_fwd=self._w_spec[0], w_spec_inv=self._w_spec[1],
+                    nfloor0=padc(state.nfloor),
+                    spec_tail_l=padc(state.spec_tail_l),
+                    spec_tail_r=padc(state.spec_tail_r),
+                    nr_level=float(config.nr.level))
+            (l, r, atail, env, w2, win2, dly2, dc2, pll2,
+             nfl2, stl2, str2) = sweep_lanes_chain(
                 padc(xr), padc(xi), padc(incs), padc(state.nco_phase),
                 w_ssb, w_pbt,
                 padc(state.sb_tail[:, :128]), padc(state.sb_tail[:, 128:]),
                 padc(state.audio_tail), padc(state.agc_env),
-                stage="denoise" if kind == "lms" else "notch",
+                demod=demod, nr=nr_name,
                 agc_release=agc_params.release,
                 agc_target=agc_params.target,
                 agc_max_gain=agc_params.max_gain,
@@ -321,7 +344,9 @@ class FusedNRBank:
                 mu=float(lms_ops.lms_mu_from_strength(
                     config.nr.level if config.nr.level > 0 else 20)),
                 chunk_t=fold_chunk, group=fold_group,
-                precision=fold_prec)
+                dc0=padc(state.dc), pll0=state.pll,
+                sample_rate=config.sample_rate,
+                precision=fold_prec, **spec_kw)
             l = l[:c]
             r = l if kind == "lms" else r[:c]   # mono copy R<-L for DNR
             new_state = FusedNRBankState(
@@ -336,13 +361,17 @@ class FusedNRBank:
                 lms_window=jnp.swapaxes(win2, 0, 1),
                 lms_delay=jnp.swapaxes(dly2, 0, 1),
                 lms_first=jnp.asarray(False),
-                nfloor=state.nfloor, spec_tail_l=state.spec_tail_l,
-                spec_tail_r=state.spec_tail_r,
+                nfloor=nfl2[:c] if kind == "spectral" else state.nfloor,
+                spec_tail_l=stl2[:c] if kind == "spectral"
+                else state.spec_tail_l,
+                spec_tail_r=str2[:c] if kind == "spectral"
+                else state.spec_tail_r,
+                dc=dc2[:c], pll=pll2,
             )
             return {"audio_l": l, "audio_r": r}, new_state
 
-        fold_spectral = fold and kind == "spectral"
-        if fold_spectral:
+        fold_spectral = fold and kind == "spectral" and demod == "ssb"
+        if fold and kind == "spectral":
             from radiodsp_sdr_rx_tpu.ops.spectral_sub import spectral_matmul_ops
             w_sf, w_si = spectral_matmul_ops(config.fft_length)
             self._w_spec = (jnp.asarray(w_sf), jnp.asarray(w_si))
@@ -384,6 +413,7 @@ class FusedNRBank:
                 lms_delay=state.lms_delay,
                 lms_first=state.lms_first,
                 nfloor=nfloor, spec_tail_l=spec_l, spec_tail_r=spec_r,
+                dc=state.dc, pll=state.pll,
             )
             return {"audio_l": l, "audio_r": r}, new_state
 
@@ -443,6 +473,7 @@ class FusedNRBank:
                 lms_delay=upd.get("lms_delay", state.lms_delay),
                 lms_first=upd.get("lms_first", state.lms_first),
                 nfloor=nfloor, spec_tail_l=spec_l, spec_tail_r=spec_r,
+                dc=state.dc, pll=state.pll,
             )
             return {"audio_l": l * out_gain, "audio_r": r * out_gain}, new_state
 
@@ -469,10 +500,14 @@ class FusedNRBank:
             nfloor=np.zeros(c, np.float32),
             spec_tail_l=np.zeros((c, 128), np.float32),
             spec_tail_r=np.zeros((c, 128), np.float32),
+            dc=np.zeros((c, 2), np.float32),
+            pll=np.zeros((2, lanes), np.float32),
         )
 
     def process_planar(self, xr, xi, state: FusedNRBankState):
-        return self._fn(state, xr, xi, self.incs, self.params.w_ssb,
+        w_main = (self.params.w_ssb if self._demod == "ssb"
+                  else self.params.w_sideband)
+        return self._fn(state, xr, xi, self.incs, w_main,
                         self.params.w_pbt, self.params.dft_cos,
                         self.params.dft_sin)
 
@@ -603,10 +638,18 @@ class FusedSAMBank:
         # state threading, one dispatch, bounded compile.
         _KSEG = int(max_kernel_seg)
 
+        # Sublane-parallel wide kernel for multi-group banks: G lane groups
+        # advance through ONE serial PLL stream — a (G, 128) tile is a single
+        # vreg on the 8x128 VPU, so the bank pays the PLL's per-step latency
+        # once instead of G times (ops/pallas_sam_wide.py; VERDICT r3 #2).
+        g_wide = max(g for g in (8, 4, 2, 1)
+                     if (self._lanes // 128) % g == 0) if fold else 1
+
         def fn_fold(state: FusedSAMBankState, xr, xi, incs, w_sb, w_pbt):
             from radiodsp_sdr_rx_tpu.ops.pallas_chain_lanes import (
                 sweep_lanes_chain,
             )
+            from radiodsp_sdr_rx_tpu.ops.pallas_sam_wide import sweep_sam_wide
 
             n = xr.shape[-1]
             lanes = self._lanes
@@ -617,24 +660,41 @@ class FusedSAMBank:
                     return a
                 return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
 
+            interp = interpret or jax.default_backend() == "cpu"
+
             def run_seg(carry, seg):
                 sxr, sxi, tr, ti = seg
                 phase, atail, env, dc, pll = carry
-                l, r, atail2, env2, _, _, _, dc2, pll2 = sweep_lanes_chain(
-                    padc(sxr), padc(sxi), padc(incs), padc(phase),
-                    w_sb, w_pbt,
-                    padc(tr), padc(ti), padc(atail), padc(env),
-                    stage="sam", chunk_t=sam_chunk,
-                    agc_release=agc_params.release,
-                    agc_target=agc_params.target,
-                    agc_max_gain=agc_params.max_gain,
-                    agc_enabled=bool(agc_params.enabled),
-                    out_gain=float(out_gain), interpret=interpret
-                    or jax.default_backend() == "cpu",
-                    in_gain=float(in_gain), iq_balance=float(balance),
-                    dc0=padc(dc), pll0=pll,
-                    sample_rate=fs,
-                    precision=fold_prec)
+                if g_wide > 1:
+                    l, r, atail2, env2, dc2, pll2 = sweep_sam_wide(
+                        padc(sxr), padc(sxi), padc(incs), padc(phase),
+                        w_sb, w_pbt,
+                        padc(tr), padc(ti), padc(atail), padc(env),
+                        padc(dc), pll,
+                        groups=g_wide, chunk_t=min(sam_chunk, 256),
+                        agc_release=agc_params.release,
+                        agc_target=agc_params.target,
+                        agc_max_gain=agc_params.max_gain,
+                        agc_enabled=bool(agc_params.enabled),
+                        out_gain=float(out_gain), interpret=interp,
+                        in_gain=float(in_gain), iq_balance=float(balance),
+                        sample_rate=fs, precision=fold_prec)
+                else:
+                    (l, r, atail2, env2, _, _, _, dc2, pll2,
+                     _, _, _) = sweep_lanes_chain(
+                        padc(sxr), padc(sxi), padc(incs), padc(phase),
+                        w_sb, w_pbt,
+                        padc(tr), padc(ti), padc(atail), padc(env),
+                        stage="sam", chunk_t=sam_chunk,
+                        agc_release=agc_params.release,
+                        agc_target=agc_params.target,
+                        agc_max_gain=agc_params.max_gain,
+                        agc_enabled=bool(agc_params.enabled),
+                        out_gain=float(out_gain), interpret=interp,
+                        in_gain=float(in_gain), iq_balance=float(balance),
+                        dc0=padc(dc), pll0=pll,
+                        sample_rate=fs,
+                        precision=fold_prec)
                 kseg = sxr.shape[-1]
                 carry2 = (phase + jnp.asarray(kseg, jnp.uint32)
                           * incs.astype(jnp.uint32),
@@ -645,10 +705,16 @@ class FusedSAMBank:
                       state.sam_dc,
                       jnp.stack([state.sam_phase, state.sam_freq], axis=0))
             tail_r0, tail_i0 = state.sb_tail[:, :128], state.sb_tail[:, 128:]
-            if n > _KSEG and n % _KSEG == 0:
-                n_seg = n // _KSEG
-                sxr = xr.reshape(c, n_seg, _KSEG).transpose(1, 0, 2)
-                sxi = xi.reshape(c, n_seg, _KSEG).transpose(1, 0, 2)
+            m = (n // _KSEG) * _KSEG if n > _KSEG else n
+            if n > _KSEG:
+                # scanned prefix of whole sub-segments (the deployment
+                # backend cannot compile the SAM kernels above _KSEG
+                # samples), then one remainder kernel call threading the
+                # carry (ADVICE r3: a non-multiple n must NOT fall through
+                # to an oversized single call)
+                n_seg = m // _KSEG
+                sxr = xr[:, :m].reshape(c, n_seg, _KSEG).transpose(1, 0, 2)
+                sxi = xi[:, :m].reshape(c, n_seg, _KSEG).transpose(1, 0, 2)
                 # raw-input framing tail per sub-segment: the previous
                 # sub-segment's last block (sweep-backend semantics)
                 tr = jnp.concatenate(
@@ -657,8 +723,14 @@ class FusedSAMBank:
                     [tail_i0[None], sxi[:-1, :, -128:]], axis=0)
                 carry, (ls, rs) = jax.lax.scan(
                     run_seg, carry0, (sxr, sxi, tr, ti))
-                l = ls.transpose(1, 0, 2).reshape(c, n)
-                r = rs.transpose(1, 0, 2).reshape(c, n)
+                l = ls.transpose(1, 0, 2).reshape(c, m)
+                r = rs.transpose(1, 0, 2).reshape(c, m)
+                if m < n:
+                    carry, (lt, rt) = run_seg(
+                        carry, (xr[:, m:], xi[:, m:],
+                                xr[:, m - 128:m], xi[:, m - 128:m]))
+                    l = jnp.concatenate([l, lt], axis=1)
+                    r = jnp.concatenate([r, rt], axis=1)
             else:
                 carry, (l, r) = run_seg(carry0, (xr, xi, tail_r0, tail_i0))
             phase, atail, env, dc, pll = carry

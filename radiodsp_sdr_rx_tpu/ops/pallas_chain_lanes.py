@@ -24,14 +24,16 @@ with every carry (framing tails, AGC env, LMS weights/window/delay block,
 PLL phase/freq, DC blocker) living in VMEM across chunks. The channel axis is
 the full lane width: C == 128 (pad smaller banks), grid = (1,).
 
-Variants (static ``stage``):
-  - "denoise": reference DNR order — chain incl. AGC+PBT, then LMS predictor
-    output y, x1.1 makeup, mono (RDSP_convolutional.h:326-337). Emits L only.
-  - "notch":   ALS auto-notch BETWEEN demod and AGC (RDSP_controls.h:257-262)
-    — LMS error output e, then AGC -> PBT stereo.
-  - "sam":     synchronous-AM: full band-pass (512->256 matmul), PLL
-    (per-sample, lanes=channels), DC blocker, AGC, PBT stereo
-    (AudioSDR SAMmode, RDSP_controls.h:372-378).
+Variants (static ``demod`` x ``nr``, round 4 — the reference applies NR to
+every mode's audio, RadioDSP_SDR_RX.ino:198):
+  - demod "ssb" | "am" (envelope + DC blocker) | "sam" (PLL on lanes + DC
+    blocker — AudioSDR SAMmode, RDSP_controls.h:372-378);
+  - nr "none" | "denoise" (post-PBT LMS predictor y, x1.1 makeup, mono —
+    RDSP_convolutional.h:326-337) | "notch" (ALS auto-notch BETWEEN demod
+    and AGC, RDSP_controls.h:257-262) | "spectral" (backup-engine spectral
+    subtraction post-PBT, src/backup/RDSP_convolutional_spec.h:112-252).
+  The legacy ``stage`` shorthand maps: denoise/notch -> ssb+lms, sam ->
+  sam+none, none -> ssb+none.
 
 Parity: matches the staged FusedNRBank/FusedSAMBank paths (and therefore
 ReceiverBank) to f32 tolerance — tests/test_fused_bank.py.
@@ -94,32 +96,44 @@ def _transpose_mxu(x: jax.Array, ident: jax.Array,
 def _lanes_chain_kernel(
     inc_ref, phase0_ref, tin_r_ref, tin_i_ref, atail_in_ref, env0_ref,
     w_lms_in, win_lms_in, delay_in, flags_ref, dcx0_ref, dcy0_ref, pll0_ref,
-    xr_hbm, xi_hbm, w_ref, wpbt_ref, ident_ref,
+    nfl0_ref, stl_in_ref, str_in_ref,
+    xr_hbm, xi_hbm, w_ref, wpbt_ref, wsf_ref, wsi_ref, ident_ref,
     l_hbm, r_hbm, atail_out_ref, env_out_ref,
     w_lms_out, win_lms_out, delay_out, dcx_out_ref, dcy_out_ref, pll_out_ref,
+    nfl_out_ref, stl_out_ref, str_out_ref,
     buf_r, buf_i, buf_l, buf_ro, sem_r, sem_i, sem_l, sem_ro,
     tail_r, tail_i, audio_tail, env_carry,
     t_buf, d_buf, lms_w, lms_win, lms_prev, dcx, dcy, pll_st, t_buf2,
+    nfl_carry, st_l, st_r,
     *, chunk_nb: int, n_chunks: int, out_gain: float,
     agc_release: float, agc_target: float, agc_max_gain: float,
-    agc_enabled: bool, stage: str, mu: float, group: int, taps: int,
+    agc_enabled: bool, demod: str, nr: str, mu: float, group: int, taps: int,
+    nr_gain: float,
     dc_pole: float, pll_kp: float, pll_ki: float, pll_max_freq: float,
     in_gain: float = 1.0, iq_balance: float = 1.0,
-    precision=None,
+    precision=None, unroll_lms: bool = True,
 ):
     """One kernel instance = the whole 128-channel bank, streaming time.
 
-    Refs by stage (unused ones are 1-element dummies):
-      lms ("denoise"/"notch"): w_lms/win_lms (taps, 128), delay (128, 128)
-        [the previous output block in (time, C) layout], flags (1,1) f32
-        first-block quirk.
-      "sam": dcx0/dcy0 (C, 1) per-channel DC-blocker carries
-        [last envelope input | last output], pll0 (2, 128) [phase | freq]
-        with channels on LANES (the PLL runs in (time, C) layout).
+    ``demod`` in ("ssb", "am", "sam") x ``nr`` in ("none", "denoise",
+    "notch", "spectral") — every reference-legal mode x NR combination on
+    the lanes skeleton, in the ReceiverBank stage order (demod -> notch ->
+    AGC -> PBT -> denoise/spectral, models/receiver.py:219-280).
+
+    Refs by config (unused ones are 1-element dummies):
+      lms ("denoise"/"notch"): w_lms (taps, 128), delay (128, 128) [the
+        previous 128 time-major input samples], flags (1,1) f32 first-block
+        quirk (win_lms is derived from delay — window invariant).
+      demod "am"/"sam": dcx0/dcy0 (C, 1) per-channel DC-blocker carries
+        [last envelope input | last output]; "sam" additionally pll0
+        (2, 128) [phase | freq] with channels on LANES.
+      nr "spectral": nfl0 (C, 1) noise-floor carry, stl/str (C, 128)
+        previous post-PBT block (frame carries), wsf (512, 512) forward and
+        wsi (512, 256) inverse spectral operators.
     """
     cb = LANES
     chunk = chunk_nb * 128
-    lms = stage in ("denoise", "notch")
+    lms = nr in ("denoise", "notch")
     c0 = pl.program_id(0) * cb   # grid over 128-channel lane groups
 
     def dma_in(slot, t):
@@ -138,7 +152,7 @@ def _lanes_chain_kernel(
             buf_l.at[0],
             l_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
             sem_l.at[0])]
-        if stage != "denoise":
+        if nr != "denoise":
             outs.append(pltpu.make_async_copy(
                 buf_ro.at[0],
                 r_hbm.at[pl.ds(c0, cb), pl.ds(t * chunk_nb, chunk_nb)],
@@ -169,10 +183,15 @@ def _lanes_chain_kernel(
         lms_w[:] = w_lms_in[:]
         lms_win[:] = win_lms_in[:]
         lms_prev[:] = delay_in[:]
-    if stage == "sam":
+    if demod in ("am", "sam"):
         dcx[:] = jnp.broadcast_to(dcx0_ref[:], (cb, 128))
         dcy[:] = jnp.broadcast_to(dcy0_ref[:], (cb, 128))
+    if demod == "sam":
         pll_st[:] = pll0_ref[:]
+    if nr == "spectral":
+        nfl_carry[:] = jnp.broadcast_to(nfl0_ref[:], (cb, 128))
+        st_l[:] = stl_in_ref[:]
+        st_r[:] = str_in_ref[:]
 
     d0r, d0i = dma_in(0, 0)
     d0r.start()
@@ -186,17 +205,26 @@ def _lanes_chain_kernel(
     r_lane = jnp.exp(np.float32(np.log(agc_release)) * lane1) \
         if agc_release < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
     release128 = float(np.float64(agc_release) ** 128)
-    if stage == "sam":
+    if demod in ("am", "sam"):
         p_lane = jnp.exp(np.float32(np.log(dc_pole)) * lane1) \
             if dc_pole < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
         pole128 = float(np.float64(dc_pole) ** 128)
+    if nr == "spectral":
+        from radiodsp_sdr_rx_tpu.ops.spectral_sub import (
+            FLOOR_BETA, VAD_END_BIN, VAD_START_BIN, UNDER_FLOOR_GAIN)
+        bin_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+        vad_mask = jnp.logical_and(bin_idx >= VAD_START_BIN,
+                                   bin_idx <= VAD_END_BIN).astype(jnp.float32)
+        a_floor = np.float32(1.0 - FLOOR_BETA)
+        under_gain = np.float32(UNDER_FLOOR_GAIN)
+        floor_beta = np.float32(FLOOR_BETA)
 
     # 2 transpose passes (16-bit exact) suffice for the LMS audio path at the
     # production "high" precision; the SAM PLL phase recurrence always needs
     # the full-f32 3-pass form (round-3 chip bisect: layout-change rounding
     # there amplifies to O(1) output error), and HIGHEST (the exact-oracle
     # mode) keeps the transposes exact too.
-    tr_passes = 3 if (stage == "sam"
+    tr_passes = 3 if (demod == "sam"
                       or precision == jax.lax.Precision.HIGHEST) else 2
 
     def to_lanes(x3, out_ref):
@@ -216,39 +244,91 @@ def _lanes_chain_kernel(
         ]
         return jnp.concatenate(blocks, axis=1)
 
-    def lms_stage(t):
-        """Grouped NLMS over t_buf (chunk, C); the output (y for "denoise",
-        e for "notch") goes to d_buf. The 128-sample-delayed desired stream
-        (RDSP_noise_reduction.h:66-80 semantics via ops/lms.py) is read
-        DIRECTLY from the pristine t_buf (this chunk, 128 rows back) or
-        lms_prev (previous chunk's last 128 input rows) — no chunk-sized
-        staging copy. First-block quirk: the stream's very first 128 samples
-        predict themselves."""
+    def lms_stage(t, y3):
+        """Grouped NLMS over the chunk, INTERLEAVED with the MXU layout
+        transposes: the forward transpose of 128-block j+1 and the back
+        transpose of block j's output issue between block j's macro loop and
+        block j+1's, so the MXU work overlaps the (VPU-bound) NLMS serial
+        stream instead of serializing before/after it.
+
+        y3 is the (cb, chunk_nb, 128) channel-major input; returns the
+        channel-major output (y for "denoise", e for "notch"). The
+        128-sample-delayed desired stream (RDSP_noise_reduction.h:66-80
+        semantics via ops/lms.py) is read DIRECTLY from the pristine t_buf
+        (this chunk, 128 rows back) or lms_prev (previous chunk's last 128
+        input rows) — no chunk-sized staging copy. First-block quirk: the
+        stream's very first 128 samples predict themselves."""
         first = flags_ref[0, 0]
         nfirst = 128 // group   # macro steps whose desired predates the chunk
+        bpg = 128 // group      # macro steps per 128-block
 
-        def macro(m, carry):
+        def macro(m, carry, static: bool):
+            """One macro step. ``static=True`` (production): all slice
+            offsets are compile-time constants — no dynamic-slice lowering
+            on the hot path, and no fori_loop region boundary between macro
+            steps, so the scheduler can mix the interleaved MXU transposes
+            into the VPU-bound macro stream. ``static=False`` is the
+            numerically identical fori-loop twin (same op order) used in
+            interpret mode, where full unrolling makes tracing intractable.
+            The delayed desired is read directly from the pristine t_buf
+            (this chunk, 128 rows back) or lms_prev (previous chunk's last
+            128 input rows) — no chunk-sized staging copy. (A variant that
+            also read the window tile straight from a head-extended t_buf
+            measured no faster and blew compile time to ~20 min — the
+            register-carried window is the sweet spot.)"""
             w, win = carry
-            xs = t_buf[pl.ds(m * group, group), :]
-            off = jnp.maximum(m * group - 128, 0)
-            d_cur = t_buf[pl.ds(off, group), :]
-            poff = jnp.minimum(m * group, 128 - group)
-            d_prev = lms_prev[pl.ds(poff, group), :]
-            ds = jnp.where(m < nfirst,
-                           jnp.where(jnp.logical_and(first > 0.5, t == 0),
-                                     xs, d_prev),
-                           d_cur)
+            if static:
+                p = m * group
+                xs = t_buf[p:p + group, :]
+                ds = (t_buf[p - 128:p - 128 + group, :] if m >= nfirst
+                      else lms_prev[p:p + group, :])
+                early = m < nfirst
+            else:
+                pd = m * group
+                xs = t_buf[pl.ds(pd, group), :]
+                d_cur = t_buf[pl.ds(jnp.maximum(pd - 128, 0), group), :]
+                d_prev = lms_prev[pl.ds(jnp.minimum(pd, 128 - group),
+                                        group), :]
+                ds = jnp.where(m < nfirst, d_prev, d_cur)
+                early = None
+            quirk = jnp.logical_and(first > 0.5, t == 0)
+            if early is None:
+                ds = jnp.where(jnp.logical_and(m < nfirst, quirk), xs, ds)
+            elif early:
+                ds = jnp.where(quirk, xs, ds)
             tile = jnp.concatenate([win, xs], axis=0)
             y, e, w = _grouped_macro(tile, ds, w, np.float32(mu),
                                      taps=taps, group=group)
-            d_buf[pl.ds(m * group, group), :] = y if stage == "denoise" else e
+            out = y if nr == "denoise" else e
+            if static:
+                d_buf[p:p + group, :] = out
+            else:
+                d_buf[pl.ds(m * group, group), :] = out
             return (w, tile[group:, :])
 
-        w, win = jax.lax.fori_loop(0, chunk // group, macro,
-                                   (lms_w[:], lms_win[:]))
-        lms_w[:] = w
-        lms_win[:] = win
+        ident = ident_ref[:]
+        t_buf[0:128, :] = _transpose_mxu(y3[:, 0, :], ident,
+                                         passes=tr_passes)
+        carry = (lms_w[:], lms_win[:])
+        out_blocks = []
+        for j in range(chunk_nb):
+            if j + 1 < chunk_nb:
+                t_buf[(j + 1) * 128:(j + 2) * 128, :] = _transpose_mxu(
+                    y3[:, j + 1, :], ident, passes=tr_passes)
+            if unroll_lms:
+                for m in range(j * bpg, (j + 1) * bpg):
+                    carry = macro(m, carry, static=True)
+            else:
+                carry = jax.lax.fori_loop(
+                    j * bpg, (j + 1) * bpg,
+                    lambda m, cy: macro(m, cy, static=False), carry)
+            out_blocks.append(_transpose_mxu(
+                d_buf[j * 128:(j + 1) * 128, :], ident,
+                passes=tr_passes)[:, None, :])
+        lms_w[:] = carry[0]
+        lms_win[:] = carry[1]
         lms_prev[:] = t_buf[chunk - 128:chunk, :]
+        return jnp.concatenate(out_blocks, axis=1)
 
     def sam_stage():
         """Second-order PLL over t_buf/t_buf2 = (chunk, C) zr/zi; the
@@ -299,6 +379,39 @@ def _lanes_chain_kernel(
         audio_tail[:] = audio_g[:, chunk_nb - 1, :]
         return lr
 
+    def spectral_stage(l, r):
+        """Backup-engine spectral subtraction on the post-PBT stereo block
+        (semantics identical to ops/pallas_sweep_spec._spec_chain_kernel:
+        forward DFT matmul, VAD-band floor, one-pole noise floor across
+        frames, under-floor gate, inverse matmul)."""
+        prev_l = jnp.concatenate([st_l[:][:, None, :], l[:, :-1, :]], axis=1)
+        prev_rr = jnp.concatenate([st_r[:][:, None, :], r[:, :-1, :]], axis=1)
+        ff = jnp.concatenate([prev_l, l, prev_rr, r], axis=-1)
+        spec = mxu_dot(
+            ff.reshape(cb * chunk_nb, 512), wsf_ref[:], precision,
+        ).reshape(cb, chunk_nb, 512)
+        st_l[:] = l[:, chunk_nb - 1, :]
+        st_r[:] = r[:, chunk_nb - 1, :]
+        sr = spec[..., :256]
+        si = spec[..., 256:]
+        mag = jnp.sqrt(sr * sr + si * si)
+        floor_est = jnp.sum(mag * vad_mask, axis=-1) * np.float32(nr_gain)
+        bv = floor_beta * floor_est                          # (cb, nb)
+        col0 = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk_nb), 1)
+                == 0).astype(jnp.float32)
+        bv = bv + (a_floor * nfl_carry[:][:, 0:1]) * col0
+        nfloor = _iir_rows(bv, float(a_floor))
+        nfl_carry[:] = jnp.broadcast_to(
+            nfloor[:, chunk_nb - 1:chunk_nb], (cb, 128))
+        nf = jnp.maximum(nfloor, 0.0)[:, :, None]
+        scale = jnp.where(mag <= nf, under_gain,
+                          1.0 - nf / jnp.maximum(mag, np.float32(1e-20)))
+        s2 = jnp.concatenate([sr * scale, si * scale], axis=-1)
+        ylr = mxu_dot(
+            s2.reshape(cb * chunk_nb, 512), wsi_ref[:], precision,
+        ).reshape(cb, chunk_nb, 256)
+        return ylr[..., :128], ylr[..., 128:]
+
     def process(t, slot: int):
         @pl.when(t + 1 < n_chunks)
         def _():
@@ -322,24 +435,32 @@ def _lanes_chain_kernel(
         br = xr * c + xi * s
         bi = xi * c - xr * s
 
-        # ---- overlap-save filter (+ fused SSB demod unless SAM) ----
+        # ---- overlap-save filter (+ fused SSB demod for demod="ssb") ----
         prev_r = jnp.concatenate([tail_r[:][:, None, :], br[:, :-1, :]], axis=1)
         prev_i = jnp.concatenate([tail_i[:][:, None, :], bi[:, :-1, :]], axis=1)
         frames = jnp.concatenate([prev_r, br, prev_i, bi], axis=-1)
-        w_out = 256 if stage == "sam" else 128
+        w_out = 128 if demod == "ssb" else 256
         y = mxu_dot(
             frames.reshape(cb * chunk_nb, 512), w_ref[:], precision,
         ).reshape(cb, chunk_nb, w_out)
         tail_r[:] = br[:, chunk_nb - 1, :]
         tail_i[:] = bi[:, chunk_nb - 1, :]
 
-        if stage == "sam":
-            # band-passed planar IQ -> lanes, PLL (in place over t_buf),
-            # back, then DC blocker
-            to_lanes(y[..., :128], t_buf)
-            to_lanes(y[..., 128:], t_buf2)
-            sam_stage()
-            env = from_lanes(t_buf)
+        # ---- demodulate -> audio (cb, nb, 128) ----
+        if demod == "ssb":
+            audio = y
+        else:
+            if demod == "sam":
+                # band-passed planar IQ -> lanes, PLL (in place over t_buf),
+                # back; the in-phase product is the envelope
+                to_lanes(y[..., :128], t_buf)
+                to_lanes(y[..., 128:], t_buf2)
+                sam_stage()
+                env = from_lanes(t_buf)
+            else:  # am: |z| envelope
+                zr = y[..., :128]
+                zi = y[..., 128:]
+                env = jnp.sqrt(zr * zr + zi * zi)
             # DC blocker y[n] = env[n]-env[n-1] + pole*y[n-1] as decaying-sum
             # doubling scan (same construction as pallas_sweep AM demod)
             shifted = jnp.concatenate(
@@ -359,32 +480,21 @@ def _lanes_chain_kernel(
                 env[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
             dcy[:] = jnp.broadcast_to(
                 audio[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
-            audio_g = agc_block(audio)
-            lr = pbt_block(audio_g)
-            out_l = lr[..., :128]
-            out_r = lr[..., 128:]
-        elif stage == "notch":
-            to_lanes(y, t_buf)
-            lms_stage(t)
-            audio = from_lanes(d_buf)
-            audio_g = agc_block(audio)
-            lr = pbt_block(audio_g)
-            out_l = lr[..., :128]
-            out_r = lr[..., 128:]
-        elif stage == "none":
-            # no adaptive stage: the plain SSB chain on the lanes skeleton
-            # (perf reference for the folded variants; parity = sweep_full_chain)
-            audio_g = agc_block(y)
-            lr = pbt_block(audio_g)
-            out_l = lr[..., :128]
-            out_r = lr[..., 128:]
-        else:  # denoise: AGC -> PBT -> LMS(y) -> x1.1, mono
-            audio_g = agc_block(y)
-            lr = pbt_block(audio_g)
-            to_lanes(lr[..., :128], t_buf)
-            lms_stage(t)
-            out_l = from_lanes(d_buf) * np.float32(1.1)
+
+        # ---- NR / AGC / PBT in the ReceiverBank stage order ----
+        if nr == "notch":
+            audio = lms_stage(t, audio)   # between demod and AGC
+        audio_g = agc_block(audio)
+        lr = pbt_block(audio_g)
+        if nr == "denoise":
+            # post-PBT LMS predictor, x1.1 makeup, mono R<-L
+            out_l = lms_stage(t, lr[..., :128]) * np.float32(1.1)
             out_r = None
+        elif nr == "spectral":
+            out_l, out_r = spectral_stage(lr[..., :128], lr[..., 128:])
+        else:
+            out_l = lr[..., :128]
+            out_r = lr[..., 128:]
 
         # single-slot output staging with a DEFERRED wait: chunk t's store
         # DMA drains while chunk t+1 computes; we only block right before
@@ -422,14 +532,24 @@ def _lanes_chain_kernel(
         w_lms_out[:] = jnp.zeros_like(w_lms_out)
         win_lms_out[:] = jnp.zeros_like(win_lms_out)
         delay_out[:] = jnp.zeros_like(delay_out)
-    if stage == "sam":
+    if demod in ("am", "sam"):
         dcx_out_ref[:] = dcx[:]
         dcy_out_ref[:] = dcy[:]
-        pll_out_ref[:] = pll_st[:]
     else:
         dcx_out_ref[:] = jnp.zeros_like(dcx_out_ref)
         dcy_out_ref[:] = jnp.zeros_like(dcy_out_ref)
+    if demod == "sam":
+        pll_out_ref[:] = pll_st[:]
+    else:
         pll_out_ref[:] = jnp.zeros_like(pll_out_ref)
+    if nr == "spectral":
+        nfl_out_ref[:] = nfl_carry[:]
+        stl_out_ref[:] = st_l[:]
+        str_out_ref[:] = st_r[:]
+    else:
+        nfl_out_ref[:] = jnp.zeros_like(nfl_out_ref)
+        stl_out_ref[:] = jnp.zeros_like(stl_out_ref)
+        str_out_ref[:] = jnp.zeros_like(str_out_ref)
 
 
 def sweep_lanes_chain(
@@ -444,7 +564,9 @@ def sweep_lanes_chain(
     audio_tail: jax.Array,
     env0: jax.Array,
     *,
-    stage: str,
+    stage: str | None = None,
+    demod: str | None = None,
+    nr: str | None = None,
     agc_release: float,
     agc_target: float,
     agc_max_gain: float,
@@ -461,23 +583,49 @@ def sweep_lanes_chain(
     lms_first: jax.Array | None = None,     # () bool
     mu: float = 0.0,
     group: int = 16,
-    # sam
+    # am / sam demod
     dc0: jax.Array | None = None,           # (C, 2) [env_prev, y_prev]/chan
     pll0: jax.Array | None = None,          # (2, 128) [phase | freq] on lanes
     dc_pole: float = 0.995,
     pll_bw_hz: float = 100.0,
     sample_rate: float = 44117.64706,
+    # spectral NR
+    w_spec_fwd: jax.Array | None = None,    # (512, 512)
+    w_spec_inv: jax.Array | None = None,    # (512, 256)
+    nfloor0: jax.Array | None = None,       # (C,)
+    spec_tail_l: jax.Array | None = None,   # (C, 128)
+    spec_tail_r: jax.Array | None = None,   # (C, 128)
+    nr_level: float = 0.0,
     precision=jax.lax.Precision.HIGHEST,
+    unroll_lms: bool | None = None,
 ):
-    """Whole 128-lane receive chain with the adaptive stage folded in.
+    """Whole 128-lane receive chain with demod x NR folded in.
+
+    Select either via the legacy ``stage`` shorthand ("denoise" = ssb+lms-y,
+    "notch" = ssb+lms-e, "sam" = sam+none, "none" = ssb+none) or explicitly
+    via ``demod`` in ("ssb", "am", "sam") and ``nr`` in ("none", "denoise",
+    "notch", "spectral") — every reference-legal combination
+    (RadioDSP_SDR_RX.ino:198 applies NR to every mode's audio).
 
     All channel-axis operands must be the full lane width (C == 128; pad
     smaller banks — zero channels adapt to zero). Returns
     (audio_l, audio_r_or_None, audio_tail', env', lms_w', lms_win',
-    lms_delay_block', dc', pll') — unused state slots return zeros.
+    lms_delay_block', dc', pll', nfloor', spec_tail_l', spec_tail_r') —
+    unused state slots return zeros.
     """
-    if stage not in ("denoise", "notch", "sam", "none"):
-        raise ValueError(stage)
+    if stage is not None:
+        if demod is not None or nr is not None:
+            raise ValueError("pass either stage= or demod=/nr=, not both")
+        demod, nr = {
+            "denoise": ("ssb", "denoise"),
+            "notch": ("ssb", "notch"),
+            "sam": ("sam", "none"),
+            "none": ("ssb", "none"),
+        }[stage]
+    if demod not in ("ssb", "am", "sam"):
+        raise ValueError(f"demod {demod!r}")
+    if nr not in ("none", "denoise", "notch", "spectral"):
+        raise ValueError(f"nr {nr!r}")
     c, n = xr.shape
     if c % LANES:
         raise ValueError(f"channel axis must be a multiple of {LANES} (pad); "
@@ -488,7 +636,7 @@ def sweep_lanes_chain(
     chunk_t = _even_chunks(n, chunk_t)
     chunk_nb = chunk_t // 128
     n_chunks = n // chunk_t
-    lms = stage in ("denoise", "notch")
+    lms = nr in ("denoise", "notch")
     taps = int(lms_weights.shape[0]) if lms else 8
     if lms and chunk_t % group:
         raise ValueError(f"chunk_t {chunk_t} not a multiple of group {group}")
@@ -500,8 +648,13 @@ def sweep_lanes_chain(
 
     x3r = xr.reshape(c, n // 128, 128)
     x3i = xi.reshape(c, n // 128, 128)
-    w_out = 256 if stage == "sam" else 128
-    emit_r = stage != "denoise"
+    w_out = 128 if demod == "ssb" else 256
+    emit_r = nr != "denoise"
+    spectral = nr == "spectral"
+    # mean over the VAD band divides by (end-start): 150 for 151 bins — the
+    # reference's own off-by-one, replicated (RDSP_convolutional_spec.h:200)
+    from radiodsp_sdr_rx_tpu.ops.spectral_sub import VAD_END_BIN, VAD_START_BIN
+    nr_gain = float(nr_level) * 1.5 / float(VAD_END_BIN - VAD_START_BIN)
 
     if lms:
         w_in = jnp.asarray(lms_weights, jnp.float32)
@@ -513,20 +666,37 @@ def sweep_lanes_chain(
         win_in = jnp.zeros((taps, c), jnp.float32)
         dly_in = jnp.zeros((128, c), jnp.float32)
         flags = jnp.zeros((1, 1), jnp.float32)
-    dc_in = (jnp.asarray(dc0, jnp.float32) if stage == "sam"
+    dc_in = (jnp.asarray(dc0, jnp.float32) if demod in ("am", "sam")
              else jnp.zeros((c, 2), jnp.float32))
-    pll_in = (jnp.asarray(pll0, jnp.float32) if stage == "sam"
+    pll_in = (jnp.asarray(pll0, jnp.float32) if demod == "sam"
               else jnp.zeros((2, c), jnp.float32))
+    if spectral:
+        wsf_in = jnp.asarray(w_spec_fwd, jnp.float32)
+        wsi_in = jnp.asarray(w_spec_inv, jnp.float32)
+        nfl_in = jnp.asarray(nfloor0, jnp.float32)
+        stl_in = jnp.asarray(spec_tail_l, jnp.float32)
+        str_in = jnp.asarray(spec_tail_r, jnp.float32)
+    else:
+        wsf_in = jnp.zeros((8, 128), jnp.float32)
+        wsi_in = jnp.zeros((8, 128), jnp.float32)
+        nfl_in = jnp.zeros((c,), jnp.float32)
+        stl_in = jnp.zeros((c, 128), jnp.float32)
+        str_in = jnp.zeros((c, 128), jnp.float32)
 
     kernel = functools.partial(
         _lanes_chain_kernel, chunk_nb=chunk_nb, n_chunks=n_chunks,
         out_gain=float(out_gain), agc_release=float(agc_release),
         agc_target=float(agc_target), agc_max_gain=float(agc_max_gain),
-        agc_enabled=bool(agc_enabled), stage=stage, mu=float(mu),
-        group=int(group), taps=taps, dc_pole=float(dc_pole),
+        agc_enabled=bool(agc_enabled), demod=demod, nr=nr, mu=float(mu),
+        group=int(group), taps=taps, nr_gain=nr_gain, dc_pole=float(dc_pole),
         pll_kp=kp, pll_ki=ki, pll_max_freq=max_freq,
         in_gain=float(in_gain), iq_balance=float(iq_balance),
-        precision=precision)
+        precision=precision,
+        # full static unrolling of the LMS macro stream is the production
+        # default; interpret mode (CPU tests) keeps the numerically
+        # identical fori-loop twin — tracing 64+ unrolled macros per chunk
+        # is intractable there
+        unroll_lms=(not interpret) if unroll_lms is None else unroll_lms)
 
     def cspec(rows):
         """Per-lane-group block on the channel (first) axis."""
@@ -563,9 +733,12 @@ def sweep_lanes_chain(
             cspec(LANES), cspec(LANES), cspec(LANES), col,
             lspec(taps), lspec(taps), lspec(128),
             shared((1, 1)), col, col, lspec(2),
+            col, cspec(LANES), cspec(LANES),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            shared((512, w_out)), shared((256, 256)), shared((128, 128)),
+            shared((512, w_out)), shared((256, 256)),
+            shared(tuple(wsf_in.shape)), shared(tuple(wsi_in.shape)),
+            shared((128, 128)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -573,6 +746,7 @@ def sweep_lanes_chain(
             cspec(LANES), cspec(LANES),
             lspec(taps), lspec(taps), lspec(128),
             cspec(LANES), cspec(LANES), lspec(2),
+            cspec(LANES), cspec(LANES), cspec(LANES),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, n // 128, 128), jnp.float32),
@@ -585,12 +759,15 @@ def sweep_lanes_chain(
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((2, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
         ],
         scratch_shapes=[
             buf, buf, buf_lo, buf_ro, sem, sem, sem1, sem1,
             cvec, cvec, cvec, cvec,
-            tchunk,                                      # t_buf (all stages)
-            # d_buf: lms delayed-desired, overwritten in place by the output
+            tchunk,                                      # t_buf
+            # d_buf: the lms stage's (time, C) output staging
             tchunk if lms else pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((taps, 128), jnp.float32),
             pltpu.VMEM((taps, 128), jnp.float32),
@@ -598,17 +775,20 @@ def sweep_lanes_chain(
             cvec, cvec,
             pltpu.VMEM((2, 128), jnp.float32),
             # t_buf2: SAM's imaginary plane only
-            tchunk if stage == "sam" else pltpu.VMEM((8, 128), jnp.float32),
+            tchunk if demod == "sam" else pltpu.VMEM((8, 128), jnp.float32),
+            cvec, cvec, cvec,   # nfl_carry, st_l, st_r (spectral)
         ],
         interpret=interpret,
     )(inc[:, None], phase0[:, None], tail_r, tail_i, audio_tail,
       jnp.asarray(env0, jnp.float32)[:, None],
       w_in, win_in, dly_in, flags, dc_in[:, 0:1], dc_in[:, 1:2], pll_in,
-      x3r, x3i, w, w_pbt, ident)
+      nfl_in[:, None], stl_in, str_in,
+      x3r, x3i, w, w_pbt, wsf_in, wsi_in, ident)
     (audio_l, audio_r, atail, env_out, w_out_a, win_out, dly_out,
-     dcx_out, dcy_out, pll_out) = outs
+     dcx_out, dcy_out, pll_out, nfl_out, stl_out, str_out) = outs
     audio_l = audio_l.reshape(c, n)
     audio_r = audio_r.reshape(c, n) if emit_r else None
     dc_next = jnp.stack([dcx_out[:, 0], dcy_out[:, 0]], axis=-1)
     return (audio_l, audio_r, atail, env_out[:, 0],
-            w_out_a, win_out, dly_out, dc_next, pll_out)
+            w_out_a, win_out, dly_out, dc_next, pll_out,
+            nfl_out[:, 0], stl_out, str_out)

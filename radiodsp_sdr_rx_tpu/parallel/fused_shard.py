@@ -32,9 +32,8 @@ def _pick_cls(config: ReceiverConfig):
     from radiodsp_sdr_rx_tpu.models import fused
 
     if config.nr.kind != "off":
-        if config.mode in (DemodMode.AM, DemodMode.SAM):
-            raise ValueError("fused NR banks cover SSB/CW modes; AM/SAM with "
-                             "NR use ReceiverBank + shard_channel_bank")
+        # every reference-legal mode x NR combo has a folded fast path
+        # (round 4: AM/SAM + lms/notch/spectral on the lanes kernel)
         return fused.FusedNRBank
     if config.mode == DemodMode.SAM:
         return fused.FusedSAMBank
@@ -48,7 +47,8 @@ def _weights(bank) -> tuple:
     name = type(bank).__name__
     p = bank.params
     if name == "FusedNRBank":
-        return (p.w_ssb, p.w_pbt, p.dft_cos, p.dft_sin)
+        w_main = p.w_ssb if bank._demod == "ssb" else p.w_sideband
+        return (w_main, p.w_pbt, p.dft_cos, p.dft_sin)
     if name == "FusedSSBBank":
         return (p.w_ssb, p.w_pbt)
     if name in ("FusedSAMBank", "FusedAMBank"):

@@ -346,3 +346,136 @@ def test_fused_sam_subsegment_scan_matches_single_kernel(rng):
                                np.asarray(out2["audio_r"]), atol=1e-6)
     for a, b in zip(st1, st2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # non-multiple segment lengths (ADVICE r3): scanned whole-sub-segment
+    # prefix + ONE remainder kernel call threading the carry — never an
+    # oversized single call
+    n2 = 2048 + 1024
+    rem = FusedSAMBank(cfg, freqs, sam_chunk=1024, max_kernel_seg=2048,
+                       interpret=True)
+    out3, st3 = rem.process(iq[:, :n2], rem.init_state())
+    out4, st4 = one.process(iq[:, :n2], one.init_state())
+    np.testing.assert_allclose(np.asarray(out3["audio_l"]),
+                               np.asarray(out4["audio_l"]), atol=1e-6)
+    for a, b in zip(st3, st4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sam_wide_matches_narrow(rng):
+    """The sublane-parallel wide SAM kernel (G lane groups per serial PLL
+    stream, ops/pallas_sam_wide.py) must match the narrow folded kernel on a
+    256-channel bank (G=2), locked-carrier scene, state threaded across two
+    segments."""
+    from radiodsp_sdr_rx_tpu.models.fused import FusedSAMBank
+    from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
+
+    n, n_ch = 2048, 256
+    center = 7_050_000.0
+    freqs = [center + 100.0 * k for k in range(n_ch)]
+    cfg = ReceiverConfig(mode=DemodMode.SAM, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM)
+    wide = FusedSAMBank(cfg, freqs, sam_chunk=256, interpret=True,
+                        kernel_precision=None)
+    assert wide._fn is not None
+    bank = ReceiverBank(cfg, freqs)
+
+    t = np.arange(2 * n) / FS
+    base = ((1.0 + 0.4 * np.sin(2 * np.pi * 400 * t))
+            * np.exp(2j * np.pi * 1000.0 * t))
+    iq = (np.stack([base] * n_ch).astype(np.complex64)
+          + (rng.standard_normal((n_ch, 2 * n))
+             + 1j * rng.standard_normal((n_ch, 2 * n)))
+          .astype(np.complex64) * 0.02)
+    st_w, st_b = wide.init_state(), bank.init_state()
+    got, want = [], []
+    for sl in (slice(0, n), slice(n, 2 * n)):
+        ow, st_w = wide.process(iq[:, sl], st_w)
+        ob, st_b = bank.process(iq[:, sl], st_b)
+        got.append(np.asarray(ow["audio_l"]))
+        want.append(np.asarray(ob["audio_l"]))
+    np.testing.assert_allclose(np.concatenate(got, axis=1),
+                               np.concatenate(want, axis=1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st_w.sam_phase[:n_ch]),
+                               np.asarray(st_b.sam.phase), atol=2e-3)
+
+
+def test_lanes_chain_unroll_matches_fori(rng):
+    """The production fully-unrolled LMS macro stream and the interpret-mode
+    fori-loop twin must agree exactly (same ops, same order — only the loop
+    structure differs)."""
+    import jax
+    from radiodsp_sdr_rx_tpu.ops.pallas_chain_lanes import sweep_lanes_chain
+
+    c, n = 128, 512
+    xr = rng.standard_normal((c, n)).astype(np.float32) * 0.1
+    xi = rng.standard_normal((c, n)).astype(np.float32) * 0.1
+    inc = np.full(c, 123456789, np.uint32)
+    ph = np.zeros(c, np.uint32)
+    w = rng.standard_normal((512, 128)).astype(np.float32) * 0.05
+    wp = rng.standard_normal((256, 256)).astype(np.float32) * 0.05
+    z = np.zeros((c, 128), np.float32)
+    e0 = np.full(c, 1e-6, np.float32)
+    taps = 96
+    kw = dict(
+        stage="notch", agc_release=0.9999, agc_target=0.3,
+        agc_max_gain=1000.0, chunk_t=256, interpret=True,
+        lms_weights=np.zeros((taps, c), np.float32),
+        lms_window=np.zeros((taps, c), np.float32),
+        lms_delay_block=np.zeros((128, c), np.float32),
+        lms_first=np.bool_(True), mu=0.05, group=16,
+        precision=jax.lax.Precision.HIGHEST)
+    outs_u = sweep_lanes_chain(xr, xi, inc, ph, w, wp, z, z, z, e0,
+                               unroll_lms=True, **kw)
+    outs_f = sweep_lanes_chain(xr, xi, inc, ph, w, wp, z, z, z, e0,
+                               unroll_lms=False, **kw)
+    for a, b in zip(outs_u, outs_f):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("mode,nr", [
+    (DemodMode.AM, NRMode.DNR2),
+    (DemodMode.AM, NRMode.NOTCH),
+    (DemodMode.AM, NRMode.SPEC2),
+    (DemodMode.SAM, NRMode.DNR2),
+    (DemodMode.SAM, NRMode.NOTCH),
+    (DemodMode.SAM, NRMode.SPEC2),
+])
+def test_fused_nr_am_sam_combos_match_reference_bank(rng, mode, nr):
+    """Round 4 (VERDICT r3 #3): every reference-legal mode x NR combination
+    runs folded (the reference applies NR to every mode's audio,
+    RadioDSP_SDR_RX.ino:198). AM/SAM + lms/notch/spectral on the lanes
+    kernel vs the ReceiverBank oracle, locked-carrier scene, two segments."""
+    from radiodsp_sdr_rx_tpu.models.fused import FusedNRBank
+
+    n, n_ch = 2048, 8
+    center = 7_050_000.0
+    freqs = [center + 2_000.0 * k for k in range(n_ch)]
+    cfg = ReceiverConfig(mode=mode, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM,
+                         nr=nr)
+    fused = FusedNRBank(cfg, freqs, fold_chunk=1024, interpret=True,
+                        kernel_precision=None)
+    bank = ReceiverBank(cfg, freqs)
+
+    t = np.arange(2 * n) / FS
+    base = ((1.0 + 0.4 * np.sin(2 * np.pi * 500 * t))
+            * np.exp(2j * np.pi * 1000.0 * t))
+    iq = (np.stack([base] * n_ch).astype(np.complex64)
+          + (rng.standard_normal((n_ch, 2 * n))
+             + 1j * rng.standard_normal((n_ch, 2 * n)))
+          .astype(np.complex64) * 0.02)
+    st_f, st_b = fused.init_state(), bank.init_state()
+    got, want = [], []
+    for sl in (slice(0, n), slice(n, 2 * n)):
+        of, st_f = fused.process(iq[:, sl], st_f)
+        ob, st_b = bank.process(iq[:, sl], st_b)
+        got.append(np.asarray(of["audio_l"]))
+        want.append(np.asarray(ob["audio_l"]))
+    np.testing.assert_allclose(np.concatenate(got, axis=1),
+                               np.concatenate(want, axis=1), atol=2e-3)
+    if nr is NRMode.DNR2:
+        np.testing.assert_array_equal(np.asarray(of["audio_r"]),
+                                      np.asarray(of["audio_l"]))  # R<-L

@@ -266,6 +266,9 @@ class ShardedChainState(NamedTuple):
     sam_phase: jax.Array    # (C,) f32
     sam_freq: jax.Array     # (C,) f32
     lms: lms_ops.LMSState   # (C, ...) leaves
+    nfloor: jax.Array       # (C,) f32 spectral noise-floor carry
+    spec_tail_l: jax.Array  # (C, half) f32 spectral frame carries (post-PBT L)
+    spec_tail_r: jax.Array  # (C, half) f32
 
 
 def sharded_chain_init(n_channels: int, half: int = 128) -> ShardedChainState:
@@ -284,6 +287,9 @@ def sharded_chain_init(n_channels: int, half: int = 128) -> ShardedChainState:
         lms=jax.tree.map(
             lambda leaf: np.broadcast_to(
                 np.asarray(leaf), (c,) + np.shape(leaf)).copy(), one),
+        nfloor=np.zeros(c, np.float32),
+        spec_tail_l=np.zeros((c, half), np.float32),
+        spec_tail_r=np.zeros((c, half), np.float32),
     )
 
 
@@ -325,6 +331,7 @@ def make_full_sharded_chain(
     time_axis: str = "time",
     sample_rate: float = 44117.64706,
     lms_mu: float = 0.0316,
+    nr_level: float = 30.0,
 ):
     """The COMPLETE 2-D sharded receiver chain: channels over one mesh axis,
     time over the other, including the adaptive stages the 1-D chains skip
@@ -339,7 +346,10 @@ def make_full_sharded_chain(
         sub-bank of channels, then the inverse all_to_all restores the 2-D
         layout. Both collectives ride ICI.
 
-    mode: "usb" | "am" | "sam"; nr: "off" | "lms" | "notch".
+    mode: "usb" | "am" | "sam"; nr: "off" | "lms" | "notch" | "spectral"
+    (``nr_level`` is the spectral subtraction strength; the noise-floor
+    one-pole across frames gets the same exact cross-device fix-up as the
+    IIR/AGC seams — VERDICT r3 #4, RDSP_convolutional_spec.h:114,205-206).
     Requires (C / channel_dim) % time_dim == 0 for adaptive stages.
 
     Returns fn(iq (C, T), incs (C,), state0: ShardedChainState, w_sb, w_audio,
@@ -353,8 +363,14 @@ def make_full_sharded_chain(
 
     if mode not in ("usb", "am", "sam"):
         raise ValueError(mode)
-    if nr not in ("off", "lms", "notch"):
+    if nr not in ("off", "lms", "notch", "spectral"):
         raise ValueError(nr)
+    from radiodsp_sdr_rx_tpu.ops.spectral_sub import (
+        FLOOR_BETA, UNDER_FLOOR_GAIN, VAD_END_BIN, VAD_START_BIN,
+        spectral_matmul_ops,
+    )
+    w_spec_fwd, w_spec_inv = spectral_matmul_ops(256)
+    spec_gain = float(nr_level) * 1.5 / float(VAD_END_BIN - VAD_START_BIN)
 
     def local_chain_1d(iq, inc, sb_tail0, atail0, env0, phase_base, dc0,
                        w_sb, w_audio, rel, tgt, mg, agc_on, out_gain):
@@ -392,7 +408,7 @@ def make_full_sharded_chain(
         za = jax.lax.complex(audio, audio)
         za, my_tail = sharded_overlap_save(za, w_audio, atail0, time_axis)
         atail1 = _last_shard_value(my_tail, time_axis)
-        return za.real * out_gain, atail1, env1
+        return za.real * out_gain, za.imag * out_gain, atail1, env1
 
     def local_block(iq, inc, state0: ShardedChainState, w_sb, w_audio,
                     rel, tgt, mg, agc_on, out_gain):
@@ -463,11 +479,53 @@ def make_full_sharded_chain(
                 lms1 = jax.tree.map(put_sub, state0.lms, lms_sub1)
 
         # ---- AGC + PBT (time-sharded linear back end) ----
-        audio, atail1, env1 = jax.vmap(
+        audio, audio_r, atail1, env1 = jax.vmap(
             agc_pbt_1d,
             in_axes=(0, 0, 0, None, None, None, None, None, None),
         )(audio, state0.audio_tail, state0.agc_env, w_audio, rel, tgt, mg,
           agc_on, out_gain)
+
+        # ---- post-PBT spectral subtraction (frame-parallel; only the
+        # noise-floor one-pole is frame-serial -> sharded affine fix-up) ----
+        nfloor1 = state0.nfloor
+        stl1, str1 = state0.spec_tail_l, state0.spec_tail_r
+        if nr == "spectral":
+            def spectral_1d(l, r, nfl0, stl0, str0):
+                nb_loc = l.shape[-1] // 128
+                prev_l = _shift_from_left(l[..., -128:], time_axis, stl0)
+                prev_r = _shift_from_left(r[..., -128:], time_axis, str0)
+                fl = l.reshape(nb_loc, 128)
+                fr = r.reshape(nb_loc, 128)
+                pl_rows = jnp.concatenate([prev_l[None, :], fl[:-1]], axis=0)
+                pr_rows = jnp.concatenate([prev_r[None, :], fr[:-1]], axis=0)
+                ff = jnp.concatenate([pl_rows, fl, pr_rows, fr], axis=-1)
+                spec = jnp.matmul(ff, w_spec_fwd,
+                                  precision=jax.lax.Precision.HIGHEST)
+                sr, si = spec[:, :256], spec[:, 256:]
+                mag = jnp.sqrt(sr * sr + si * si)
+                est = jnp.sum(
+                    mag[:, VAD_START_BIN:VAD_END_BIN + 1], axis=-1
+                ) * jnp.float32(spec_gain)
+                nfl = sharded_first_order_iir(
+                    est, 1.0 - FLOOR_BETA, FLOOR_BETA, nfl0, time_axis)
+                nfl = jnp.maximum(nfl, 0.0)
+                nf = nfl[:, None]
+                scale = jnp.where(mag <= nf, jnp.float32(UNDER_FLOOR_GAIN),
+                                  1.0 - nf / jnp.maximum(mag, 1e-20))
+                s2 = jnp.concatenate([sr * scale, si * scale], axis=-1)
+                y = jnp.matmul(s2, w_spec_inv,
+                               precision=jax.lax.Precision.HIGHEST)
+                nfl1 = _last_shard_value(nfl[-1], time_axis)
+                stl_next = _last_shard_value(l[..., -128:], time_axis)
+                str_next = _last_shard_value(r[..., -128:], time_axis)
+                return (y[:, :128].reshape(l.shape),
+                        y[:, 128:].reshape(r.shape),
+                        nfl1, stl_next, str_next)
+
+            audio, audio_r, nfloor1, stl1, str1 = jax.vmap(
+                spectral_1d,
+            )(audio, audio_r, state0.nfloor, state0.spec_tail_l,
+              state0.spec_tail_r)
 
         # ---- post-PBT denoise (adaptive) ----
         if nr == "lms":
@@ -486,6 +544,7 @@ def make_full_sharded_chain(
             + jnp.uint32(n_total) * inc.astype(jnp.uint32),
             sb_tail=sb_tail1, audio_tail=atail1, agc_env=env1, am_dc=dc1,
             sam_phase=sam_phase1, sam_freq=sam_freq1, lms=lms1,
+            nfloor=nfloor1, spec_tail_l=stl1, spec_tail_r=str1,
         )
         return audio, state1
 
@@ -496,6 +555,8 @@ def make_full_sharded_chain(
         sam_freq=P(channel_axis),
         lms=lms_ops.LMSState(weights=P(channel_axis), window=P(channel_axis),
                              delay=P(channel_axis), first=P()),
+        nfloor=P(channel_axis), spec_tail_l=P(channel_axis),
+        spec_tail_r=P(channel_axis),
     )
     sharded = jax.shard_map(
         local_block,

@@ -136,3 +136,26 @@ def qrm_ssb_scene(
     iq = (iq + siggen.noise(n, 0.04, seed=seed + 1)).astype(np.complex64)
     return iq, {"center": center, "station_freq": f0, "audio": audio,
                 "het_offset_hz": 2_200.0}
+
+
+def voiced_qrm_scene(
+    n: int,
+    center: float = 7_150_000.0,
+    fs: float = FS,
+    seed: int = 3,
+) -> tuple[np.ndarray, dict]:
+    """Voiced USB speech in steady band noise (round 4 / VERDICT r3 #5): the
+    golden scene on which spectral-subtraction NR must demonstrably IMPROVE
+    the demodulated SNR (the backup engine's purpose,
+    src/backup/RDSP_convolutional_spec.h:194-238). Harmonic speech with
+    pauses (siggen.voiced_speech) + elevated white band noise + weak
+    adjacent-channel splatter."""
+    rng = np.random.default_rng(seed)
+    audio = siggen.voiced_speech(n, fs, seed=seed)
+    f0 = center + 10_000.0
+    iq = siggen.ssb_from_audio(audio, 10_000.0, fs, "usb", amp=0.5)
+    # weak adjacent-channel splatter 4 kHz up (mostly filtered out)
+    adj = siggen.voice_like(n, fs, seed=seed + 9)
+    iq = iq + siggen.ssb_from_audio(adj, 14_000.0, fs, "usb", amp=0.08)
+    iq = (iq + siggen.noise(n, 0.10, seed=seed + 1)).astype(np.complex64)
+    return iq, {"center": center, "station_freq": f0, "audio": audio}

@@ -90,6 +90,44 @@ def envelope_corr(out: np.ndarray, env_ref: np.ndarray, fs: float,
     return float(np.dot(y, r) / (np.linalg.norm(y) * np.linalg.norm(r) + 1e-30))
 
 
+def segmental_metrics(out: np.ndarray, ref: np.ndarray, fs: float,
+                      skip: int = 4096) -> dict:
+    """NR-effectiveness metrics on a voiced scene (round 4 / VERDICT r3 #5).
+
+    The reference's spectral engine cannot improve a WAVEFORM-regression SNR:
+    its floor estimate (stopband-mean x nr_level x 1.5, with rectangular-
+    frame leakage) attenuates low-magnitude speech content along with noise
+    (measured: SPEC2 on the voiced scene lowers aligned_snr_db 17 -> 8 dB at
+    every input SNR, while audibly lowering the noise floor). What the
+    engine DOES deliver — and what these metrics gate — is segmental:
+    noise in speech PAUSES is suppressed (~6 dB) more than voiced-segment
+    energy, so the noise-corrected voiced-to-pause ratio improves (~+1 dB).
+    Masks come from the ground-truth syllable envelope.
+
+      seg_db:    20*log10(sqrt(voiced_rms^2 - pause_rms^2) / pause_rms)
+      pause_rms: absolute pause-noise floor
+      snr_db:    aligned waveform SNR (speech-survival floor, not an
+                 improvement gate)
+    """
+    env = np.abs(np.asarray(ref, np.float64))
+    k = np.hanning(801)
+    k /= k.sum()
+    sm = np.convolve(env, k, mode="same")
+    pause = sm < 0.02 * sm.max()
+    voiced = sm > 0.08 * sm.max()
+    a = np.asarray(out, np.float64)[skip:]
+    p = pause[skip:skip + len(a)]
+    v = voiced[skip:skip + len(a)]
+    prms = float(np.sqrt(np.mean(a[p] ** 2)))
+    vrms = float(np.sqrt(np.mean(a[v] ** 2)))
+    net = np.sqrt(max(vrms ** 2 - prms ** 2, 1e-20))
+    return {
+        "seg_db": float(20.0 * np.log10(net / max(prms, 1e-12))),
+        "pause_rms": prms,
+        "snr_db": aligned_snr_db(out, ref),
+    }
+
+
 def heterodyne_db(out: np.ndarray, het_hz: float, fs: float,
                   skip: int = 4000, width_hz: float = 30.0,
                   band=(300.0, 2800.0)) -> float:
@@ -158,6 +196,17 @@ def build_cases(n: int = 1 << 16):
                   lambda audio: {
                       "snr_db": aligned_snr_db(audio, truthq["audio"]),
                       "het_db": heterodyne_db(audio, het, FS)}))
+
+    # voiced-speech scene (round 4): harmonic speech with PAUSES, so the
+    # spectral engine's VAD floor can lock onto channel noise and the gate
+    # can assert NR IMPROVES the segmental ratio (see segmental_metrics)
+    iqv, truthv = scenes.voiced_qrm_scene(n)
+    cfgv = ReceiverConfig(
+        mode=DemodMode.USB, vfo_freq=truthv["station_freq"],
+        capture_center_freq=truthv["center"], agc=AGCMode.OFF,
+        nr=NRMode.SPEC2)
+    cases.append(("voiced_usb_spec2", cfgv, iqv,
+                  lambda audio: segmental_metrics(audio, truthv["audio"], FS)))
     return cases
 
 
@@ -174,7 +223,10 @@ def main():
     os.makedirs(outdir, exist_ok=True)
     keep = 32768   # committed audio snippet length
 
+    only = set(sys.argv[1:])   # optional case-name filter
     for name, cfg, iq, metrics_fn in build_cases():
+        if only and name not in only:
+            continue
         rx = Receiver(cfg)
         out, _ = rx.process(iq, rx.init_state())
         audio = np.asarray(out["audio_l"])

@@ -41,12 +41,36 @@ def _add_rx_args(p: argparse.ArgumentParser) -> None:
     p.set_defaults(iq_repair=True)
     p.add_argument("--swap-iq", action="store_true",
                    help="swap I/Q channels (preProcessor.swapIQ, manual)")
+    p.add_argument("--play", action="store_true",
+                   help="play demodulated audio live (sounddevice/aplay/"
+                        "paplay/ffplay, whichever exists; no-op headless)")
+    p.add_argument("--play-cmd", default=None,
+                   help="custom audio sink command reading s16le stereo on "
+                        "stdin (overrides --play discovery)")
 
 
 _MODE_MAP = {
     "cw-n": "CW_NARROW", "cw": "CW", "usb": "USB", "lsb": "LSB",
     "am": "AM", "sam": "SAM", "rtty": "RTTY",
 }
+
+
+def _make_sink(args, fs):
+    """AudioSink from --play/--play-cmd (None when playback is off)."""
+    if not (getattr(args, "play", False) or getattr(args, "play_cmd", None)):
+        return None
+    import shlex
+
+    from radiodsp_sdr_rx_tpu.utils.audio_sink import AudioSink
+
+    cmd = shlex.split(args.play_cmd) if args.play_cmd else None
+    sink = AudioSink(fs, channels=2, command=cmd)
+    if not sink.available:
+        print("audio: no playback backend found (sounddevice/aplay/paplay/"
+              "ffplay) — continuing silent", file=sys.stderr)
+        return None
+    print(f"audio: playing via {sink.backend}", file=sys.stderr)
+    return sink
 
 
 def _build_receiver(args):
@@ -98,6 +122,15 @@ def cmd_demod(args) -> int:
     print(f"{args.input}: {n} samples ({rt:.1f}s) {cfg.mode.value} @ "
           f"{cfg.vfo_freq/1e6:.6f} MHz -> {args.out} "
           f"[{dt:.2f}s, {rt/dt:.0f}x real time]")
+    sink = _make_sink(args, fs)
+    if sink is not None:
+        # paced playback of the rendered capture (the sink's own process
+        # consumes at the sample rate)
+        for off in range(0, len(audio), 16384):
+            sink.write(audio[off:off + 16384])
+            time.sleep(16384 / fs * 0.5)
+        sink.close()
+        print(f"audio: {sink.stats}", file=sys.stderr)
     return 0
 
 
@@ -148,6 +181,7 @@ def cmd_stream(args) -> int:
 
     iq, fs = _load_iq(args)
     rx, cfg = _build_receiver(args)
+    sink = _make_sink(args, fs)
     ring = native_io.IQRing(1 << 16)
     block = args.block
     state = rx.init_state()
@@ -163,11 +197,17 @@ def cmd_stream(args) -> int:
         while ring.available >= block:
             seg = ring.pop_complex(block)
             out, state = rx.process(np.asarray(seg), state)  # host-side split
-            outs.append(np.asarray(out["audio_l"]))
+            al = np.asarray(out["audio_l"])
+            if sink is not None:
+                sink.write(np.stack([al, np.asarray(out["audio_r"])], axis=1))
+            outs.append(al)
     audio = np.concatenate(outs) if outs else np.zeros(0, np.float32)
     dt = time.perf_counter() - t0
     io_utils.write_wav(args.out, audio, fs)
     stats = ring.stats
+    if sink is not None:
+        sink.close()
+        print(f"audio: {sink.stats}", file=sys.stderr)
     print(f"streamed {stats['popped']} samples in {dt:.2f}s "
           f"(dropped {stats['dropped']}) -> {args.out}")
     return 0
@@ -189,6 +229,7 @@ def cmd_tui(args) -> int:
     iq, fs = _load_iq(args)
     _, cfg = _build_receiver(args)
     app = Appliance(cfg, block=args.block)
+    sink = _make_sink(args, fs)
     n_blocks = len(iq) // args.block
     if n_blocks == 0:
         print("capture shorter than one block", file=sys.stderr)
@@ -235,7 +276,11 @@ def cmd_tui(args) -> int:
             blk = (loops % n_blocks) * args.block
             seg = np.asarray(iq[blk: blk + args.block], np.complex64)
             try:
-                app.step(seg, events=read_events())
+                out = app.step(seg, events=read_events())
+                if sink is not None:
+                    sink.write(np.stack(
+                        [np.asarray(out["audio_l"], np.float32),
+                         np.asarray(out["audio_r"], np.float32)], axis=1))
             except KeyboardInterrupt:
                 return 0
             now = time.perf_counter()
@@ -250,25 +295,30 @@ def cmd_tui(args) -> int:
             loops += 1
             if args.frames and loops >= args.frames:
                 return 0
-            if interactive and args.realtime:
+            if args.realtime:
                 budget = args.block / fs
                 spent = time.perf_counter() - now
                 if budget > spent:
                     time.sleep(budget - spent)
 
-    if not interactive:
-        return run_loop()
-    import termios
-    import tty
-
-    fd = _sys.stdin.fileno()
-    old = termios.tcgetattr(fd)
     try:
-        tty.setcbreak(fd)
-        return run_loop()
+        if not interactive:
+            return run_loop()
+        import termios
+        import tty
+
+        fd = _sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        try:
+            tty.setcbreak(fd)
+            return run_loop()
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+            _sys.stdout.write("\n")
     finally:
-        termios.tcsetattr(fd, termios.TCSADRAIN, old)
-        _sys.stdout.write("\n")
+        if sink is not None:
+            sink.close()
+            print(f"audio: {sink.stats}", file=sys.stderr)
 
 
 def cmd_scan(args) -> int:

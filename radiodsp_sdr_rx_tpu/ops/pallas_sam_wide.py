@@ -154,8 +154,16 @@ def _sam_wide_kernel(
         bi = xi * c - xr * s
 
         # ---- overlap-save complex band-pass (one matmul, all G groups) ----
-        prev_r = jnp.concatenate([tail_r[:][:, None, :], br[:, :-1, :]], axis=1)
-        prev_i = jnp.concatenate([tail_i[:][:, None, :], bi[:, :-1, :]], axis=1)
+        # (chunk_nb == 1 keeps the frames-row count at G*128 — the remote
+        # compiler crashes above 2048 rows — and needs empty-slice guards)
+        if chunk_nb > 1:
+            prev_r = jnp.concatenate(
+                [tail_r[:][:, None, :], br[:, :-1, :]], axis=1)
+            prev_i = jnp.concatenate(
+                [tail_i[:][:, None, :], bi[:, :-1, :]], axis=1)
+        else:
+            prev_r = tail_r[:][:, None, :]
+            prev_i = tail_i[:][:, None, :]
         frames = jnp.concatenate([prev_r, br, prev_i, bi], axis=-1)
         y = mxu_dot(
             frames.reshape(cb * chunk_nb, 512), w_ref[:], precision,
@@ -165,13 +173,16 @@ def _sam_wide_kernel(
 
         # ---- channel-major -> (time, G, 128): 3-pass exact MXU transposes
         # (the PLL recurrence amplifies layout-change rounding; round 3) ----
+        # pure-slice indexing throughout: this backend's Mosaic rejects
+        # int-index+slice chains on refs/values (docs/PERFORMANCE.md)
         ident = ident_ref[:]
         for g in range(G):
             for j in range(chunk_nb):
-                zbuf_r[j * 128:(j + 1) * 128, g, :] = _transpose_mxu(
-                    y[g * 128:(g + 1) * 128, j, :128], ident)
-                zbuf_i[j * 128:(j + 1) * 128, g, :] = _transpose_mxu(
-                    y[g * 128:(g + 1) * 128, j, 128:], ident)
+                yg = y[g * 128:(g + 1) * 128, j:j + 1, :].reshape(128, 256)
+                zbuf_r[j * 128:(j + 1) * 128, g:g + 1, :] = _transpose_mxu(
+                    yg[:, :128], ident)[:, None, :]
+                zbuf_i[j * 128:(j + 1) * 128, g:g + 1, :] = _transpose_mxu(
+                    yg[:, 128:], ident)[:, None, :]
 
         # ---- ONE serial PLL stream over (G, 128) tiles ----
         def put(n, vr):
@@ -179,8 +190,8 @@ def _sam_wide_kernel(
 
         phase_t, freq_t = _pll_loop(
             chunk,
-            lambda n: zbuf_r[pl.ds(n, 1), :, :][0],
-            lambda n: zbuf_i[pl.ds(n, 1), :, :][0],
+            lambda n: zbuf_r[pl.ds(n, 1), :, :].reshape(G, 128),
+            lambda n: zbuf_i[pl.ds(n, 1), :, :].reshape(G, 128),
             put,
             pll_st[0:G, :], pll_st[G:2 * G, :],
             kp=pll_kp, ki=pll_ki, max_freq=pll_max_freq)
@@ -191,8 +202,9 @@ def _sam_wide_kernel(
         env_groups = []
         for g in range(G):
             blocks = [
-                _transpose_mxu(zbuf_r[j * 128:(j + 1) * 128, g, :],
-                               ident)[:, None, :]
+                _transpose_mxu(
+                    zbuf_r[j * 128:(j + 1) * 128, g:g + 1, :]
+                    .reshape(128, 128), ident)[:, None, :]
                 for j in range(chunk_nb)
             ]
             env_groups.append(jnp.concatenate(blocks, axis=1))
@@ -201,13 +213,15 @@ def _sam_wide_kernel(
         # ---- DC blocker (decaying-sum doubling scan) ----
         shifted = jnp.concatenate(
             [jnp.zeros((cb, chunk_nb, 1), env.dtype), env[..., :-1]], axis=-1)
-        row_prev = jnp.concatenate(
+        row_prev = (jnp.concatenate(
             [dcx[:][:, 0:1], env[:, :-1, 127]], axis=1)
+            if chunk_nb > 1 else dcx[:][:, 0:1])
         lane0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
                  == 0).astype(env.dtype)
         diff = env - (shifted + row_prev[:, :, None] * lane0)
         run = _iir_lanes(diff, dc_pole)
-        seq = jnp.concatenate([dcy[:][:, 0:1], run[:, :-1, 127]], axis=1)
+        seq = (jnp.concatenate([dcy[:][:, 0:1], run[:, :-1, 127]], axis=1)
+               if chunk_nb > 1 else dcy[:][:, 0:1])
         carry_in = _iir_rows(seq, pole128)
         audio = run + carry_in[:, :, None] * p_lane
         dcx[:] = jnp.broadcast_to(
@@ -217,8 +231,9 @@ def _sam_wide_kernel(
 
         # ---- AGC ----
         run_e = _env_lanes(jnp.abs(audio), agc_release)
-        seq_e = jnp.concatenate(
+        seq_e = (jnp.concatenate(
             [env_carry[:][:, 0:1], run_e[:, :-1, 127]], axis=1)
+            if chunk_nb > 1 else env_carry[:][:, 0:1])
         carry_e = _env_rows(seq_e, release128)
         envl = jnp.maximum(run_e, carry_e[:, :, None] * r_lane)
         env_carry[:] = jnp.broadcast_to(
@@ -232,8 +247,9 @@ def _sam_wide_kernel(
             audio_g = audio
 
         # ---- PBT ----
-        prev_a = jnp.concatenate(
+        prev_a = (jnp.concatenate(
             [audio_tail[:][:, None, :], audio_g[:, :-1, :]], axis=1)
+            if chunk_nb > 1 else audio_tail[:][:, None, :])
         frames2 = jnp.concatenate([prev_a, audio_g], axis=-1)
         lr = mxu_dot(
             frames2.reshape(cb * chunk_nb, 256), wpbt_ref[:], precision,

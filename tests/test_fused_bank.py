@@ -215,8 +215,13 @@ def test_fused_nr_rejects_unsupported_configs():
     cfg, freqs = _setup()
     with pytest.raises(ValueError):
         FusedNRBank(cfg, freqs)                      # nr=off
+    # AM/SAM + NR are SUPPORTED since round 4 (folded lanes kernel) — but
+    # only on the folded path; the staged pipeline has no AM/SAM demod
     with pytest.raises(ValueError):
-        FusedNRBank(cfg.with_(mode=DemodMode.AM, nr=NRMode.DNR1), freqs)
+        FusedNRBank(cfg.with_(mode=DemodMode.AM, nr=NRMode.DNR1), freqs,
+                    fold=False)
+    assert FusedNRBank(cfg.with_(mode=DemodMode.AM, nr=NRMode.DNR1), freqs,
+                       interpret=True)._demod == "am"
 
 
 def test_fused_sam_matches_reference_bank(rng):

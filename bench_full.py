@@ -33,7 +33,6 @@ def _make_bank(cfg, freqs):
         FusedAMBank, FusedNRBank, FusedSAMBank, FusedSSBBank)
     from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
 
-    ssb = cfg.mode not in (DemodMode.AM, DemodMode.SAM)
     try:
         if cfg.noise_blanker:
             raise ValueError("nb -> XLA bank")
@@ -42,11 +41,12 @@ def _make_bank(cfg, freqs):
                 return FusedAMBank(cfg, freqs, block_t=8192), "sweep-am"
             if cfg.mode == DemodMode.SAM:
                 return FusedSAMBank(cfg, freqs), "sweep-sam"
-            return FusedSSBBank(cfg, freqs, block_t=8192), "sweep"
-        if ssb and (len(freqs) <= 128 or cfg.nr.kind in ("lms", "notch")):
-            # lms/notch fold over lane groups -> no 128-channel ceiling
-            return FusedNRBank(cfg, freqs, block_t=8192), f"sweep+{cfg.nr.kind}"
-        raise ValueError("no fused path")
+            return FusedSSBBank(cfg, freqs, block_t=16384), "sweep"
+        # round 4: EVERY mode x NR combo folds (AM/SAM via the lanes
+        # kernel; ssb+spectral via the ch-major spec kernel, no ceiling)
+        tag = {DemodMode.AM: "am", DemodMode.SAM: "sam"}.get(cfg.mode, "")
+        return (FusedNRBank(cfg, freqs, block_t=8192),
+                f"sweep{'-' + tag if tag else ''}+{cfg.nr.kind}")
     except ValueError:
         backend = "batched" if (cfg.nr.kind in ("lms", "notch")
                                 and len(freqs) == 128) else "vmap"
@@ -103,6 +103,7 @@ def main() -> int:
         "config1_am_64ch": ReceiverConfig(
             mode=DemodMode.AM, vfo_freq=7_060_000.0,
             capture_center_freq=7_050_000.0, agc=AGCMode.OFF),
+        # tuned block_t=16384 (matches the bench.py headline measurement)
         "config2_usb_128ch": ReceiverConfig(
             mode=DemodMode.USB, vfo_freq=7_200_000.0,
             capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM),
@@ -125,11 +126,16 @@ def main() -> int:
             mode=DemodMode.USB, vfo_freq=7_200_000.0,
             capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM,
             nr=NRMode.DNR2),
+        # round 4: AM x NR on the folded lanes kernel (VERDICT r3 #3)
+        "config8_am_dnr2_128ch": ReceiverConfig(
+            mode=DemodMode.AM, vfo_freq=7_060_000.0,
+            capture_center_freq=7_050_000.0, agc=AGCMode.MEDIUM,
+            nr=NRMode.DNR2),
     }
     channels = {"config1_am_64ch": 64, "config2_usb_128ch": 128,
                 "config3_cw_notch_128ch": 128, "config4_spec_nr_64ch": 64,
                 "config5_1024ch_bank": 1024, "config6_sam_128ch": 128,
-                "config7_usb_dnr2_128ch": 128}
+                "config7_usb_dnr2_128ch": 128, "config8_am_dnr2_128ch": 128}
     # config5 keeps a shorter segment only to bound HBM (1024 ch x 2 planes);
     # the adaptive-engine configs use the full segment — per-call dispatch
     # through the relay costs ~7 ms, so short segments under-report the
@@ -150,7 +156,12 @@ def main() -> int:
             results[name] = f"error: {str(e)[:80]}"
             print(f"{name}: FAILED {e}", file=sys.stderr)
 
-    print(json.dumps(results))
+    line = json.dumps(results)
+    print(line)
+    for a in sys.argv[1:]:     # --out=FILE: committed per-round artifact
+        if a.startswith("--out="):
+            with open(a[len("--out="):], "w") as f:
+                f.write(line + "\n")
     return 0
 
 

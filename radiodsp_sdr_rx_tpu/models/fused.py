@@ -249,10 +249,11 @@ class FusedNRBank:
                              "(fold=True); the staged oracle is ReceiverBank")
         self._demod = demod
         # the lanes kernel serves: lms/notch for every mode, and spectral
-        # for AM/SAM (ssb+spectral keeps the faster ch-major spec kernel)
+        # for AM/SAM (ssb+spectral keeps the faster ch-major spec kernel,
+        # which grids over 8-channel blocks and has NO channel ceiling)
         fold_lanes = fold and (config.nr.kind in ("lms", "notch")
                                or demod != "ssb")
-        if len(freqs_hz) > LANES and not fold_lanes:
+        if len(freqs_hz) > LANES and not fold:
             raise ValueError(f"FusedNRBank supports <= {LANES} channels on "
                              "the staged path (fold=True lifts the ceiling)")
         self.config = config

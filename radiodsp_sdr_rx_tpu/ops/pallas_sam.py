@@ -64,8 +64,10 @@ def _atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
 
 
 # Shared-u^2 least-squares sin/cos polynomials on u = phase - pi, u in
-# [-pi, pi): |err| < 9e-7 in f32 — two generic transcendental lowerings
-# replaced by 13 FMAs on the PLL's serial critical path.
+# [-pi, pi): measured max |err| ~1.1e-6 for sin, ~5e-7 for cos in f32
+# (ADVICE r3) — far inside the 2e-3 chain tolerance; two generic
+# transcendental lowerings replaced by 13 FMAs on the PLL's serial
+# critical path.
 _SIN_C = (9.999997070358e-1, -1.666657721752e-1, 8.33255813248e-3,
           -1.981257592934e-4, 2.704051697171e-6, -2.053426506405e-8)
 _COS_C = (9.999999922852e-1, -4.999999177215e-1, 4.166652436402e-2,

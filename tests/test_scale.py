@@ -117,3 +117,35 @@ def test_sharded_fused_bank_matches_unsharded():
         want = np.concatenate([np.asarray(o1["audio_l"]),
                                np.asarray(o2["audio_l"])], axis=1)
         np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_sharded_fused_bank_am_dnr(rng):
+    """ShardedFusedBank auto-picks a fused class for EVERY reference-legal
+    config (round 4): AM + DNR2 channel-shards the folded lanes kernel."""
+    import jax
+    from jax.sharding import Mesh
+
+    from radiodsp_sdr_rx_tpu.models.config import (
+        AGCMode, DemodMode, NRMode, ReceiverConfig)
+    from radiodsp_sdr_rx_tpu.models.fused import FusedNRBank
+    from radiodsp_sdr_rx_tpu.parallel.fused_shard import ShardedFusedBank
+    from radiodsp_sdr_rx_tpu.parallel.mesh import make_mesh
+
+    n, n_ch = 1024, 16
+    center = 7_050_000.0
+    freqs = [center + 1_000.0 * k for k in range(n_ch)]
+    cfg = ReceiverConfig(mode=DemodMode.AM, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM,
+                         nr=NRMode.DNR2)
+    mesh = make_mesh(channel=2)
+    sharded = ShardedFusedBank(cfg, freqs, mesh, interpret=True,
+                               fold_chunk=512)
+    assert isinstance(sharded.template, FusedNRBank)
+    xr = rng.standard_normal((n_ch, n)).astype(np.float32) * 0.1
+    xi = rng.standard_normal((n_ch, n)).astype(np.float32) * 0.1
+    out, st = sharded.process_planar(xr, xi, sharded.init_state())
+
+    one = FusedNRBank(cfg, freqs, interpret=True, fold_chunk=512)
+    want, _ = one.process_planar(xr, xi, one.init_state())
+    np.testing.assert_allclose(np.asarray(out["audio_l"]),
+                               np.asarray(want["audio_l"]), atol=2e-4)

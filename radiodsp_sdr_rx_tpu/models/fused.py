@@ -19,8 +19,11 @@ demod between the band-pass and the AGC — ops/pallas_sweep.sweep_am_chain);
 the reference runs AM through the same conv engine as SSB
 (RDSP_convolutional.h:228-353), and so does this fast path.
 
-Use when: many-channel monitoring at maximum throughput with AGC, no
-NR/noise-blanker stages. Fall back to ReceiverBank for SAM/NR configs.
+Use when: many-channel monitoring at maximum throughput. Since round 4
+EVERY reference-legal mode x NR combination has a folded fast path
+(FusedNRBank covers AM/SAM + lms/notch/spectral on the lanes kernel;
+FusedSAMBank adds the sublane-wide PLL for multi-group banks); only
+noise-blanker configs fall back to ReceiverBank.
 """
 
 from __future__ import annotations
@@ -643,7 +646,13 @@ class FusedSAMBank:
         # advance through ONE serial PLL stream — a (G, 128) tile is a single
         # vreg on the 8x128 VPU, so the bank pays the PLL's per-step latency
         # once instead of G times (ops/pallas_sam_wide.py; VERDICT r3 #2).
-        g_wide = max(g for g in (8, 4, 2, 1)
+        # G is capped at 2 on this deployment backend: the remote Mosaic
+        # compiler crashes (opaque subprocess exit) on the wide kernel at
+        # G >= 4 at ANY chunk size (bisected round 4; G=2 compiles and
+        # matches the oracle — tests/test_fused_bank.py), so a 1024-channel
+        # bank runs 4 sequential G=2 instances, halving (not eighthing)
+        # the serial latency until the backend accepts G=8.
+        g_wide = max(g for g in (2, 1)
                      if (self._lanes // 128) % g == 0) if fold else 1
 
         def fn_fold(state: FusedSAMBankState, xr, xi, incs, w_sb, w_pbt):

@@ -100,9 +100,6 @@ def main() -> int:
 
     seg = 1 << (17 if quick else 19)
     scenarios = {
-        "config1_am_64ch": ReceiverConfig(
-            mode=DemodMode.AM, vfo_freq=7_060_000.0,
-            capture_center_freq=7_050_000.0, agc=AGCMode.OFF),
         # tuned block_t=16384 (matches the bench.py headline measurement)
         "config2_usb_128ch": ReceiverConfig(
             mode=DemodMode.USB, vfo_freq=7_200_000.0,
@@ -131,6 +128,12 @@ def main() -> int:
             mode=DemodMode.AM, vfo_freq=7_060_000.0,
             capture_center_freq=7_050_000.0, agc=AGCMode.MEDIUM,
             nr=NRMode.DNR2),
+        # LAST: this round's sweep-am compile is slow/hang-prone on the
+        # relay; ordering it last keeps one bad compile from starving the
+        # whole artifact
+        "config1_am_64ch": ReceiverConfig(
+            mode=DemodMode.AM, vfo_freq=7_060_000.0,
+            capture_center_freq=7_050_000.0, agc=AGCMode.OFF),
     }
     channels = {"config1_am_64ch": 64, "config2_usb_128ch": 128,
                 "config3_cw_notch_128ch": 128, "config4_spec_nr_64ch": 64,

@@ -284,6 +284,13 @@ class FusedNRBank:
         from radiodsp_sdr_rx_tpu.models.receiver import _PRECISIONS
         prec = _PRECISIONS[config.matmul_precision]
         fold_prec = _PRECISIONS[kernel_precision or config.matmul_precision]
+        if demod == "sam" and kind != "off":
+            # sam combos hold the PLL planes (t_buf, t_buf2) PLUS the NR
+            # stage's extras (lms d_buf, or the 1.5 MB spectral operators)
+            # in VMEM — at chunk 1024 that is 16.4-16.8 MB, over the 16 MB
+            # scoped-vmem limit (measured AOT OOMs on-chip, round 4);
+            # chunk 512 fits comfortably
+            fold_chunk = min(fold_chunk, 512)
 
         def run_lms(audio, state: FusedNRBankState, lms_mode: str):
             from radiodsp_sdr_rx_tpu.ops.pallas_lms import lms_nr_run_pallas

@@ -29,11 +29,19 @@ def run_case(mode_name, n_ch=16, n=65536, seed=0):
 
     center = 7_050_000.0
     freqs = [center + 2_000.0 * k for k in range(n_ch)]
-    demod = {"am": DemodMode.AM, "sam": DemodMode.SAM,
-             "lms": DemodMode.USB, "notch": DemodMode.CW_NARROW,
-             "spectral": DemodMode.USB}.get(mode_name, DemodMode.USB)
-    nr = {"lms": NRMode.DNR2, "notch": NRMode.NOTCH,
-          "spectral": NRMode.SPEC2}.get(mode_name, NRMode.OFF)
+    # combo names "am+lms", "sam+spec", ... exercise the round-4 demod x NR
+    # matrix on the lanes kernel (RadioDSP_SDR_RX.ino:198)
+    if "+" in mode_name:
+        dname, nname = mode_name.split("+", 1)
+        demod = {"am": DemodMode.AM, "sam": DemodMode.SAM}[dname]
+        nr = {"lms": NRMode.DNR2, "notch": NRMode.NOTCH,
+              "spec": NRMode.SPEC2}[nname]
+    else:
+        demod = {"am": DemodMode.AM, "sam": DemodMode.SAM,
+                 "lms": DemodMode.USB, "notch": DemodMode.CW_NARROW,
+                 "spectral": DemodMode.USB}.get(mode_name, DemodMode.USB)
+        nr = {"lms": NRMode.DNR2, "notch": NRMode.NOTCH,
+              "spectral": NRMode.SPEC2}.get(mode_name, NRMode.OFF)
     cfg = ReceiverConfig(mode=demod, vfo_freq=freqs[0],
                          capture_center_freq=center, agc=AGCMode.MEDIUM,
                          nr=nr)
@@ -43,8 +51,13 @@ def run_case(mode_name, n_ch=16, n=65536, seed=0):
         fused = FusedAMBank(cfg, freqs, block_t=4096)
     elif mode_name == "sam":
         fused = FusedSAMBank(cfg, freqs)
-    else:                       # lms / notch / spectral folded chains
-        fused = FusedNRBank(cfg, freqs)
+    else:                       # folded NR chains (any mode)
+        # SAM combos compare in exact-oracle precision: on NOISE input the
+        # PLL accumulates (rather than contracts) last-ulp differences
+        # (tests/test_fused_bank.py rationale); other combos run the
+        # production "high" default
+        kp = None if demod == DemodMode.SAM else "high"
+        fused = FusedNRBank(cfg, freqs, kernel_precision=kp)
     bank = ReceiverBank(cfg, freqs)
 
     rng = np.random.default_rng(seed)

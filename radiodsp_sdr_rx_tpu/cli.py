@@ -124,11 +124,17 @@ def cmd_demod(args) -> int:
           f"[{dt:.2f}s, {rt/dt:.0f}x real time]")
     sink = _make_sink(args, fs)
     if sink is not None:
-        # paced playback of the rendered capture (the sink's own process
-        # consumes at the sample rate)
+        # paced playback of the rendered capture: pace off wall-clock vs
+        # samples pushed (ADVICE r4 — a fixed half-block sleep fed the sink
+        # at 2x real time and overflowed its drop-oldest queue after ~3 s),
+        # keeping a 2-block lead so the sink never starves
+        t_start = time.perf_counter()
+        lead = 2 * 16384 / fs
         for off in range(0, len(audio), 16384):
+            wait = off / fs - (time.perf_counter() - t_start) - lead
+            if wait > 0:
+                time.sleep(wait)
             sink.write(audio[off:off + 16384])
-            time.sleep(16384 / fs * 0.5)
         sink.close()
         print(f"audio: {sink.stats}", file=sys.stderr)
     return 0

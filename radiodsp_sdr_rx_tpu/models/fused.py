@@ -221,7 +221,7 @@ class FusedNRBank:
                  block_c: int = 8, block_t: int = 8192,
                  lms_chunk: int = 4096,
                  fold: bool = True,
-                 fold_chunk: int = 1024,
+                 fold_chunk: int = 4096,
                  fold_group: int = 16,
                  kernel_precision: str | None = "high",
                  interpret: bool = False):
@@ -287,10 +287,9 @@ class FusedNRBank:
         if demod == "sam" and kind != "off":
             # sam combos hold the PLL planes (t_buf, t_buf2) PLUS the NR
             # stage's extras (lms d_buf, or the 1.5 MB spectral operators)
-            # in VMEM — at chunk 1024 that is 16.4-16.8 MB, over the 16 MB
-            # scoped-vmem limit (measured AOT OOMs on-chip, round 4);
-            # chunk 512 fits comfortably
-            fold_chunk = min(fold_chunk, 512)
+            # in VMEM; keep their chunk at 1024 under the raised 64 MB
+            # scoped-vmem limit (they OOM'd the old 16 MB default at 1024)
+            fold_chunk = min(fold_chunk, 1024)
 
         def run_lms(audio, state: FusedNRBankState, lms_mode: str):
             from radiodsp_sdr_rx_tpu.ops.pallas_lms import lms_nr_run_pallas
@@ -560,6 +559,7 @@ class FusedSAMBank:
                  max_kernel_seg: int = 1 << 16,
                  fold: bool = True,
                  kernel_precision: str | None = "high",
+                 wide_groups: int | None = None,
                  interpret: bool = False):
         """``fold=True`` (default) runs the WHOLE SAM chain in one kernel
         (ops/pallas_chain_lanes.sweep_lanes_chain stage="sam": band-pass
@@ -653,14 +653,18 @@ class FusedSAMBank:
         # advance through ONE serial PLL stream — a (G, 128) tile is a single
         # vreg on the 8x128 VPU, so the bank pays the PLL's per-step latency
         # once instead of G times (ops/pallas_sam_wide.py; VERDICT r3 #2).
-        # G is capped at 2 on this deployment backend: the remote Mosaic
-        # compiler crashes (opaque subprocess exit) on the wide kernel at
-        # G >= 4 at ANY chunk size (bisected round 4; G=2 compiles and
-        # matches the oracle — tests/test_fused_bank.py), so a 1024-channel
-        # bank runs 4 sequential G=2 instances, halving (not eighthing)
-        # the serial latency until the backend accepts G=8.
-        g_wide = max(g for g in (2, 1)
+        # The G>=4 'opaque' compile crashes were the backend's 16 MB
+        # scoped-VMEM default; with the kernel's raised vmem_limit_bytes
+        # G=8 compiles and runs (round 4).
+        g_wide = max(g for g in (8, 4, 2, 1)
                      if (self._lanes // 128) % g == 0) if fold else 1
+        if wide_groups is not None:
+            # explicit override (parity/tuning harnesses: e.g. compare G=8
+            # against the chip-verified G=2 on the same 1024-ch bank)
+            if (self._lanes // 128) % wide_groups:
+                raise ValueError(f"wide_groups {wide_groups} does not divide "
+                                 f"{self._lanes // 128} lane groups")
+            g_wide = wide_groups
 
         def fn_fold(state: FusedSAMBankState, xr, xi, incs, w_sb, w_pbt):
             from radiodsp_sdr_rx_tpu.ops.pallas_chain_lanes import (

@@ -640,6 +640,10 @@ def sweep_lanes_chain(
     taps = int(lms_weights.shape[0]) if lms else 8
     if lms and chunk_t % group:
         raise ValueError(f"chunk_t {chunk_t} not a multiple of group {group}")
+    if lms and 128 % group:
+        # the interleaved macro stream walks bpg = 128 // group blocks per
+        # 128-row tile; a non-divisor would silently skip rows (ADVICE r4)
+        raise ValueError(f"group {group} must divide the 128-row tile")
 
     wn = 2.0 * np.pi * pll_bw_hz / sample_rate
     kp = float(2.0 * 0.70710678 * wn)
@@ -778,6 +782,14 @@ def sweep_lanes_chain(
             tchunk if demod == "sam" else pltpu.VMEM((8, 128), jnp.float32),
             cvec, cvec, cvec,   # nfl_carry, st_l, st_r (spectral)
         ],
+        # the backend's 16 MB scoped-VMEM DEFAULT is what rejected chunk_t
+        # 2048+ all of rounds 3-4 (misdiagnosed as VMEM-budget math: the
+        # failures were opaque remote-compiler exits until one surfaced as
+        # an AOT "scoped vmem limit" OOM). v5e has far more physical VMEM;
+        # raising the limit compiles chunk 2048 and clears the 2 Gs/s bar
+        # on the notch config (measured 2046 Ms/s, round 4).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(inc[:, None], phase0[:, None], tail_r, tail_i, audio_tail,
       jnp.asarray(env0, jnp.float32)[:, None],

@@ -112,7 +112,7 @@ def _sam_wide_kernel(
     env_carry[:] = jnp.broadcast_to(env0_ref[:], (cb, 128))
     dcx[:] = jnp.broadcast_to(dcx0_ref[:], (cb, 128))
     dcy[:] = jnp.broadcast_to(dcy0_ref[:], (cb, 128))
-    pll_st[:] = pll0_ref[:]
+    pll_st[:] = pll0_ref[0]
 
     d0r, d0i = dma_in(0, 0)
     d0r.start()
@@ -280,7 +280,7 @@ def _sam_wide_kernel(
     env_out_ref[:] = env_carry[:]
     dcx_out_ref[:] = dcx[:]
     dcy_out_ref[:] = dcy[:]
-    pll_out_ref[:] = pll_st[:]
+    pll_out_ref[0] = pll_st[:]
 
 
 def sweep_sam_wide(
@@ -362,24 +362,20 @@ def sweep_sam_wide(
 
     col = pl.BlockSpec((cb, 1), lambda ci: (ci, 0), memory_space=pltpu.VMEM)
     # pll rows: instance ci gets phase rows [ci*G, (ci+1)*G) and freq rows
-    # [nG + ci*G, ...) — blocked as one (2G, 128) slab only when grid == 1;
-    # for multi-instance grids the phase/freq halves interleave per instance
+    # [nG + ci*G, ...), regrouped contiguous per instance on a LEADING
+    # instance axis — a flat (n_inst*2G, 128) layout with a (2G, 128) block
+    # fails Mosaic lowering when 2G < 8 (sublane divisibility; chip-hit at
+    # G=2 x 4 instances, round 5), while a (1, 2G, 128) block is legal for
+    # any G because its last two dims equal the array's
     n_inst = c // cb
-    if n_inst == 1:
-        pll_spec = pl.BlockSpec((2 * G, 128), lambda ci: (0, 0),
-                                memory_space=pltpu.VMEM)
-        pll_in = pll_rows
-    else:
-        # reorder rows so each instance's [phase G rows | freq G rows] are
-        # contiguous: [P0..P(G-1), F0..F(G-1), P(G)..]
-        idx = np.concatenate([
-            np.concatenate([np.arange(i * G, (i + 1) * G),
-                            c // LANES + np.arange(i * G, (i + 1) * G)])
-            for i in range(n_inst)
-        ])
-        pll_in = pll_rows[idx]
-        pll_spec = pl.BlockSpec((2 * G, 128), lambda ci: (ci, 0),
-                                memory_space=pltpu.VMEM)
+    idx = np.concatenate([
+        np.concatenate([np.arange(i * G, (i + 1) * G),
+                        c // LANES + np.arange(i * G, (i + 1) * G)])
+        for i in range(n_inst)
+    ])
+    pll_in = pll_rows[idx].reshape(n_inst, 2 * G, 128)
+    pll_spec = pl.BlockSpec((1, 2 * G, 128), lambda ci: (ci, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     ident = jnp.eye(128, dtype=jnp.float32)
     buf = pltpu.VMEM((2, cb, chunk_nb, 128), jnp.float32)
@@ -416,7 +412,7 @@ def sweep_sam_wide(
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
-            jax.ShapeDtypeStruct((2 * (c // LANES), 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, 2 * G, 128), jnp.float32),
         ],
         scratch_shapes=[
             buf, buf, buf1, buf1, sem, sem, sem1, sem1,
@@ -424,6 +420,8 @@ def sweep_sam_wide(
             zbuf, zbuf,
             pltpu.VMEM((2 * G, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(inc[:, None], phase0[:, None], tail_r, tail_i, audio_tail,
       jnp.asarray(env0, jnp.float32)[:, None],
@@ -432,18 +430,9 @@ def sweep_sam_wide(
       pll_in, x3r, x3i, w_sb, w_pbt, ident)
     (audio_l, audio_r, atail, env_out, dcx_out, dcy_out, pll_out) = outs
 
-    if n_inst == 1:
-        phase_out = pll_out[0:G].reshape(c)
-        freq_out = pll_out[G:2 * G].reshape(c)
-    else:
-        # undo the per-instance interleave
-        phase_rows = []
-        freq_rows = []
-        for i in range(n_inst):
-            phase_rows.append(pll_out[i * 2 * G:i * 2 * G + G])
-            freq_rows.append(pll_out[i * 2 * G + G:(i + 1) * 2 * G])
-        phase_out = jnp.concatenate(phase_rows, axis=0).reshape(c)
-        freq_out = jnp.concatenate(freq_rows, axis=0).reshape(c)
+    # (n_inst, 2G, 128): per-instance [phase G rows | freq G rows]
+    phase_out = pll_out[:, 0:G].reshape(c)
+    freq_out = pll_out[:, G:2 * G].reshape(c)
 
     dc_next = jnp.stack([dcx_out[:, 0], dcy_out[:, 0]], axis=-1)
     return (audio_l.reshape(c, n), audio_r.reshape(c, n), atail,

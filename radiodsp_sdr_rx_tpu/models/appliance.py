@@ -116,6 +116,7 @@ class Appliance:
             and cfg.fft_length == old.fft_length
             and cfg.sample_rate == old.sample_rate
             and cfg.conv_first == old.conv_first
+            and cfg.conv_inline_denoise == old.conv_inline_denoise
             and cfg.matmul_precision == old.matmul_precision
         )
         if statics_same:

@@ -172,6 +172,13 @@ class ReceiverConfig:
     # (src/backup/RadioDSP_SDR_RX_Conv.ino:183-191); the audio band-pass runs
     # as a complex BPF on post-mix IQ and the post-demod PBT stage is skipped
     conv_first: bool = False
+    # backup-sketch DENOISE build: loop() routes every block through
+    # doConvolutionalProcessing_Denoise (src/backup/RadioDSP_SDR_RX_Conv.ino:
+    # 1346-1351), where the pre-demod conv stage applies the inline spectral
+    # denoise (threshold = mean of magnitude bins 60-120 x 3, :1591-1609)
+    # and the FIR mask multiply is commented out (:1633). Requires
+    # conv_first=True (it is a variant of that graph ordering).
+    conv_inline_denoise: bool = False
     # Automatic I2S-misalignment detection + repair: the reference enables it
     # unconditionally at boot (preProcessor.startAutoI2SerrorDetection(),
     # RadioDSP_SDR_RX.ino:117). When True, the Receiver detects the best of
@@ -207,6 +214,10 @@ class ReceiverConfig:
                 "('highest', 'high', 'bf16')")
         if self.agc_release_s is not None and self.agc_release_s <= 0:
             raise ValueError("agc_release_s must be positive")
+        if self.conv_inline_denoise and not self.conv_first:
+            raise ValueError("conv_inline_denoise is a variant of the "
+                             "backup sketch's conv-first graph; set "
+                             "conv_first=True")
 
     @property
     def effective_audio_filter(self) -> AudioFilter:

@@ -180,6 +180,7 @@ def rx_chain(
     fft_length: int = 256,
     sample_rate: float = 44117.64706,
     conv_first: bool = False,
+    conv_inline_denoise: bool = False,
     matmul_precision: str = "highest",
 ) -> tuple[dict, ReceiverState]:
     """One pipeline invocation over a segment of planar IQ samples.
@@ -213,8 +214,17 @@ def rx_chain(
     # --- conv-first variant: audio-band complex BPF pre-demod (backup sketch)
     conv_tail_r, conv_tail_i = state.conv_tail_r, state.conv_tail_i
     if conv_first:
-        xr, xi, conv_tail_r, conv_tail_i = planar.overlap_save_filter_planar(
-            xr, xi, params.w_audio, conv_tail_r, conv_tail_i, precision=prec)
+        if conv_inline_denoise:
+            # denoise build: inline spectral subtraction replaces the FIR
+            # mask (Conv.ino:1520-1650; the mask multiply is commented out)
+            xr, xi, conv_tail_r, conv_tail_i = planar.inline_denoise_planar(
+                xr, xi, params.dft_cos, params.dft_sin,
+                conv_tail_r, conv_tail_i, precision=prec)
+        else:
+            xr, xi, conv_tail_r, conv_tail_i = (
+                planar.overlap_save_filter_planar(
+                    xr, xi, params.w_audio, conv_tail_r, conv_tail_i,
+                    precision=prec))
 
     # --- sideband band-pass + demod (static mode -> specialized pipeline)
     am_dc, sam_state = state.am_dc, state.sam
@@ -311,6 +321,7 @@ def rx_chain_batched(
     sample_rate: float = 44117.64706,
     lms_chunk: int = 4096,
     conv_first: bool = False,
+    conv_inline_denoise: bool = False,
     matmul_precision: str = "highest",
 ) -> tuple[dict, ReceiverState]:
     """Bank-level chain on batched (C, n) planes with the Pallas LMS backend.
@@ -345,8 +356,15 @@ def rx_chain_batched(
     # --- conv-first variant: audio-band complex BPF pre-demod (backup sketch)
     conv_tail_r, conv_tail_i = state.conv_tail_r, state.conv_tail_i
     if conv_first:
-        xr, xi, conv_tail_r, conv_tail_i = planar.overlap_save_filter_planar(
-            xr, xi, params.w_audio, conv_tail_r, conv_tail_i, precision=prec)
+        if conv_inline_denoise:
+            xr, xi, conv_tail_r, conv_tail_i = planar.inline_denoise_planar(
+                xr, xi, params.dft_cos, params.dft_sin,
+                conv_tail_r, conv_tail_i, precision=prec)
+        else:
+            xr, xi, conv_tail_r, conv_tail_i = (
+                planar.overlap_save_filter_planar(
+                    xr, xi, params.w_audio, conv_tail_r, conv_tail_i,
+                    precision=prec))
 
     am_dc, sam_state = state.am_dc, state.sam
 
@@ -469,6 +487,7 @@ class Receiver:
             mode=config.mode, nr=config.nr, noise_blanker=config.noise_blanker,
             quantize_output=config.quantize_output, fft_length=config.fft_length,
             sample_rate=config.sample_rate, conv_first=config.conv_first,
+            conv_inline_denoise=config.conv_inline_denoise,
             matmul_precision=config.matmul_precision,
         )
         self._fn = jax.jit(lambda p, s, xr, xi: rx_chain(p, s, xr, xi, **statics))
@@ -559,6 +578,7 @@ class ReceiverBank:
             mode=config.mode, nr=config.nr, noise_blanker=config.noise_blanker,
             quantize_output=config.quantize_output, fft_length=config.fft_length,
             sample_rate=config.sample_rate, conv_first=config.conv_first,
+            conv_inline_denoise=config.conv_inline_denoise,
             matmul_precision=config.matmul_precision,
         )
         if backend == "batched":

@@ -334,3 +334,69 @@ def spectral_subtract_planar(
     out_l = yl[..., block:].reshape(l.shape)
     out_r = yr[..., block:].reshape(r.shape)
     return out_l, out_r, nfloor[..., -1], l[..., -block:], r[..., -block:]
+
+
+def inline_denoise_planar(
+    xr: jax.Array,
+    xi: jax.Array,
+    dft_cos: jax.Array,
+    dft_sin: jax.Array,
+    tail_r: jax.Array,
+    tail_i: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+    split_dft: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The backup sketch's *inline* pre-demod spectral denoise
+    (``doConvolutionalProcessing_Denoise``,
+    ref: src/backup/RadioDSP_SDR_RX_Conv.ino:1520-1650): per overlap-save
+    frame of the complex IQ stream (re = L, im = R, :1576-1580),
+
+        th   = (sum mag[60..120]) / 60 * 3          (:1591-1597 — 61 bins
+               summed but divided by 60, replicated)
+        mag' = mag <= th ? mag * 0.2 : mag - th     (:1601-1610)
+
+    resynthesized with the original phase (:1613-1628), iFFT, right half out
+    (:1643-1647); the FIR mask multiply is commented out in this path
+    (:1633). The threshold has NO temporal carry: ``loop()`` reseeds
+    TH_VALUE = 0.8 before every call (:1346-1351), so the seed gate
+    ``TH_VALUE > 0`` always passes and each frame's threshold is purely its
+    own band mean — the cross-frame latch in the source is dead code.
+
+    Returns (xr', xi', new_tail_r, new_tail_i).
+    """
+    from radiodsp_sdr_rx_tpu.ops.spectral_sub import (
+        INLINE_END_BIN, INLINE_MULT, INLINE_START_BIN, UNDER_FLOOR_GAIN,
+    )
+
+    n = dft_cos.shape[0]
+    block = n // 2
+    fl = frame_planar(xr, tail_r, block)          # (..., nb, n)
+    fr_ = frame_planar(xi, tail_i, block)
+    if split_dft:
+        sr, si = planar_dft_split(fl, fr_, n, precision)
+    else:
+        sr = jnp.matmul(fl, dft_cos, precision=precision) + jnp.matmul(
+            fr_, dft_sin, precision=precision)
+        si = jnp.matmul(fr_, dft_cos, precision=precision) - jnp.matmul(
+            fl, dft_sin, precision=precision)
+    mag = jnp.sqrt(sr * sr + si * si)
+
+    band = mag[..., INLINE_START_BIN : INLINE_END_BIN + 1]
+    th = (jnp.sum(band, axis=-1)
+          / (INLINE_END_BIN - INLINE_START_BIN)) * INLINE_MULT
+    thb = th[..., None]
+    scale = jnp.where(mag <= thb, UNDER_FLOOR_GAIN,
+                      1.0 - thb / jnp.maximum(mag, 1e-20))
+    sr2, si2 = sr * scale, si * scale
+    if split_dft:
+        ar, ai = planar_dft_split(sr2, -si2, n, precision)
+        yl = ar * (1.0 / n)
+        yr = -ai * (1.0 / n)
+    else:
+        yl = (jnp.matmul(sr2, dft_cos, precision=precision)
+              - jnp.matmul(si2, dft_sin, precision=precision)) * (1.0 / n)
+        yr = (jnp.matmul(si2, dft_cos, precision=precision)
+              + jnp.matmul(sr2, dft_sin, precision=precision)) * (1.0 / n)
+    out_r = yl[..., block:].reshape(xr.shape)
+    out_i = yr[..., block:].reshape(xi.shape)
+    return out_r, out_i, xr[..., -block:], xi[..., -block:]

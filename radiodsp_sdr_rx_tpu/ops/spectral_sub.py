@@ -38,6 +38,15 @@ VAD_END_BIN = 180    # ENDING_BIN_VAD_ANALISYS (RDSP_convolutional_spec.h:35)
 FLOOR_BETA = 0.65    # one-pole floor tracking (RDSP_convolutional_spec.h:114)
 UNDER_FLOOR_GAIN = 0.2  # below-floor attenuation (RDSP_convolutional_spec.h:214)
 
+# the backup sketch's INLINE pre-demod denoise threshold law
+# (src/backup/RadioDSP_SDR_RX_Conv.ino:1591-1597): mean of magnitude bins
+# 60..120 inclusive — 61 bins summed, divided by 60 (replicated off-by-one)
+# — times 3; applied with the same 0.2 under-floor gain
+INLINE_START_BIN = 60
+INLINE_END_BIN = 120
+INLINE_MULT = 3.0
+INLINE_SEED = 0.8    # loop() reseed when the menu enables denoise (:1347)
+
 
 @functools.lru_cache(maxsize=4)
 def spectral_matmul_ops(n: int = 256) -> tuple[np.ndarray, np.ndarray]:

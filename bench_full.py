@@ -34,8 +34,6 @@ def _make_bank(cfg, freqs):
     from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
 
     try:
-        if cfg.noise_blanker:
-            raise ValueError("nb -> XLA bank")
         if cfg.nr.kind == "off":
             if cfg.mode == DemodMode.AM:
                 return FusedAMBank(cfg, freqs, block_t=8192), "sweep-am"
@@ -128,6 +126,15 @@ def main() -> int:
             mode=DemodMode.AM, vfo_freq=7_060_000.0,
             capture_center_freq=7_050_000.0, agc=AGCMode.MEDIUM,
             nr=NRMode.DNR2),
+        # round 5: noise blanker folded into the sweep kernel (VERDICT r4 #4)
+        "config9_usb_nb_128ch": ReceiverConfig(
+            mode=DemodMode.USB, vfo_freq=7_200_000.0,
+            capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM,
+            noise_blanker=True),
+        # round 5: 1024-ch SAM bank on the G=8 sublane-wide PLL kernel
+        "config10_sam_1024ch": ReceiverConfig(
+            mode=DemodMode.SAM, vfo_freq=7_060_000.0,
+            capture_center_freq=7_050_000.0, agc=AGCMode.MEDIUM),
         # LAST: this round's sweep-am compile is slow/hang-prone on the
         # relay; ordering it last keeps one bad compile from starving the
         # whole artifact
@@ -138,13 +145,15 @@ def main() -> int:
     channels = {"config1_am_64ch": 64, "config2_usb_128ch": 128,
                 "config3_cw_notch_128ch": 128, "config4_spec_nr_64ch": 64,
                 "config5_1024ch_bank": 1024, "config6_sam_128ch": 128,
-                "config7_usb_dnr2_128ch": 128, "config8_am_dnr2_128ch": 128}
+                "config7_usb_dnr2_128ch": 128, "config8_am_dnr2_128ch": 128,
+                "config9_usb_nb_128ch": 128, "config10_sam_1024ch": 1024}
     # config5 keeps a shorter segment only to bound HBM (1024 ch x 2 planes);
     # the adaptive-engine configs use the full segment — per-call dispatch
     # through the relay costs ~7 ms, so short segments under-report the
     # kernel's sustained rate (tools/tune_fold.py: notch 509 Ms/s at 2^16 vs
     # 1640 Ms/s at 2^19 for the SAME kernel)
-    seg_override = {"config5_1024ch_bank": 1 << 16}
+    seg_override = {"config5_1024ch_bank": 1 << 16,
+                    "config10_sam_1024ch": 1 << 17}
 
     results = {}
     for name, cfg in scenarios.items():

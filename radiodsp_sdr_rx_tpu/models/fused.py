@@ -22,8 +22,9 @@ the reference runs AM through the same conv engine as SSB
 Use when: many-channel monitoring at maximum throughput. Since round 4
 EVERY reference-legal mode x NR combination has a folded fast path
 (FusedNRBank covers AM/SAM + lms/notch/spectral on the lanes kernel;
-FusedSAMBank adds the sublane-wide PLL for multi-group banks); only
-noise-blanker configs fall back to ReceiverBank.
+FusedSAMBank adds the sublane-wide PLL for multi-group banks), and since
+round 5 the noise blanker folds into every sweep kernel as a pre-mix
+stage (VERDICT r4 #4) — no reference-legal config falls back.
 """
 
 from __future__ import annotations
@@ -53,6 +54,8 @@ class FusedBankState(NamedTuple):
     sb_tail: jax.Array     # (C, 256) f32 [re|im] framing tail (see above)
     audio_tail: jax.Array  # (C, 128) f32 PBT framing tail
     agc_env: jax.Array     # (C,) f32
+    nb_avg: jax.Array      # (C,) f32 noise-blanker running-average carry
+    nb_mask: jax.Array     # (C, 128) f32 NB keep mask of the tail block
 
 
 class FusedSSBBank:
@@ -71,10 +74,13 @@ class FusedSSBBank:
         folded chains (FusedNRBank/FusedSAMBank) always follow the config."""
         if config.mode in (DemodMode.AM, DemodMode.SAM):
             raise ValueError("FusedSSBBank covers SSB modes; use ReceiverBank")
-        if config.nr.kind != "off" or config.noise_blanker:
-            raise ValueError("NR/noise-blanker configs use ReceiverBank")
+        if config.nr.kind != "off":
+            raise ValueError("NR configs use FusedNRBank/ReceiverBank")
         if backend not in ("staged", "sweep"):
             raise ValueError(backend)
+        if config.noise_blanker and backend != "sweep":
+            raise ValueError("the noise blanker folds into the sweep "
+                             "backend only (round 5); use backend='sweep'")
         self.backend = backend
         self.config = config
         self.n_channels = len(freqs_hz)
@@ -99,7 +105,7 @@ class FusedSSBBank:
             # costs two full HBM read+write passes on a bandwidth-bound chain
             # (sb_tail therefore carries the RAW input's last block)
             from radiodsp_sdr_rx_tpu.ops.pallas_sweep import sweep_full_chain
-            l, r, atail, env = sweep_full_chain(
+            out = sweep_full_chain(
                 xr, xi, incs, state.nco_phase,
                 w_ssb, w_pbt,
                 state.sb_tail[:, :128], state.sb_tail[:, 128:],
@@ -111,15 +117,25 @@ class FusedSSBBank:
                 block_c=block_c, chunk_t=block_t, interpret=interpret,
                 in_gain=float(in_gain),
                 iq_balance=float(config.iq_gain_balance),
+                nb=bool(config.noise_blanker),
+                nb_thresh_db=float(config.nb_threshold_db),
+                nb_tau=float(config.nb_tau_samples),
+                nb_avg0=state.nb_avg, nb_mask0=state.nb_mask,
                 precision=None if kernel_precision is None
                 else _PRECISIONS[kernel_precision],
             )
+            if config.noise_blanker:
+                l, r, atail, env, nb_avg, nb_mask = out
+            else:
+                l, r, atail, env = out
+                nb_avg, nb_mask = state.nb_avg, state.nb_mask
             new_state = FusedBankState(
                 nco_phase=state.nco_phase
                 + jnp.asarray(n, jnp.uint32) * incs.astype(jnp.uint32),
                 sb_tail=jnp.concatenate([xr[:, -128:], xi[:, -128:]], axis=-1),
                 audio_tail=atail,
                 agc_env=env,
+                nb_avg=nb_avg, nb_mask=nb_mask,
             )
             return {"audio_l": l, "audio_r": r}, new_state
 
@@ -150,6 +166,7 @@ class FusedSSBBank:
                 sb_tail=jnp.concatenate([tr, ti], axis=-1),
                 audio_tail=audio_g[:, -128:],
                 agc_env=env,
+                nb_avg=state.nb_avg, nb_mask=state.nb_mask,
             )
             return {"audio_l": l * out_gain, "audio_r": r * out_gain}, new_state
 
@@ -162,6 +179,8 @@ class FusedSSBBank:
             sb_tail=np.zeros((c, 256), np.float32),
             audio_tail=np.zeros((c, 128), np.float32),
             agc_env=np.full(c, 1e-6, np.float32),
+            nb_avg=np.zeros(c, np.float32),
+            nb_mask=np.ones((c, 128), np.float32),
         )
 
     def process_planar(self, xr, xi, state: FusedBankState):
@@ -191,6 +210,8 @@ class FusedNRBankState(NamedTuple):
     spec_tail_r: jax.Array  # (C, 128) f32
     dc: jax.Array           # (C, 2) f32 AM/SAM DC-blocker carry
     pll: jax.Array          # (2, lanes) f32 SAM PLL [phase | freq]
+    nb_avg: jax.Array       # (C,) f32 noise-blanker running-average carry
+    nb_mask: jax.Array      # (C, 128) f32 NB keep mask of the tail block
 
 
 class FusedNRBank:
@@ -243,19 +264,22 @@ class FusedNRBank:
         if config.nr.kind not in ("lms", "spectral", "notch"):
             raise ValueError("FusedNRBank needs an NR config; use "
                              "FusedSSBBank for nr=off")
-        if config.noise_blanker:
-            raise ValueError("noise-blanker configs use ReceiverBank")
+        if config.noise_blanker and not fold:
+            raise ValueError("the noise blanker folds into the lanes kernel "
+                             "(fold=True); the staged oracle is ReceiverBank")
         demod = {DemodMode.AM: "am", DemodMode.SAM: "sam"}.get(
             config.mode, "ssb")
         if demod != "ssb" and not fold:
             raise ValueError("AM/SAM + NR run on the folded lanes kernel "
                              "(fold=True); the staged oracle is ReceiverBank")
         self._demod = demod
-        # the lanes kernel serves: lms/notch for every mode, and spectral
-        # for AM/SAM (ssb+spectral keeps the faster ch-major spec kernel,
-        # which grids over 8-channel blocks and has NO channel ceiling)
+        # the lanes kernel serves: lms/notch for every mode, spectral for
+        # AM/SAM, and ANY noise-blanker combo (the NB stage folds into the
+        # lanes kernel only — round 5); ssb+spectral without NB keeps the
+        # faster ch-major spec kernel, which grids over 8-channel blocks
+        # and has NO channel ceiling
         fold_lanes = fold and (config.nr.kind in ("lms", "notch")
-                               or demod != "ssb")
+                               or demod != "ssb" or config.noise_blanker)
         if len(freqs_hz) > LANES and not fold:
             raise ValueError(f"FusedNRBank supports <= {LANES} channels on "
                              "the staged path (fold=True lifts the ceiling)")
@@ -333,8 +357,14 @@ class FusedNRBank:
                     spec_tail_l=padc(state.spec_tail_l),
                     spec_tail_r=padc(state.spec_tail_r),
                     nr_level=float(config.nr.level))
-            (l, r, atail, env, w2, win2, dly2, dc2, pll2,
-             nfl2, stl2, str2) = sweep_lanes_chain(
+            nb_on = bool(config.noise_blanker)
+            if nb_on:
+                spec_kw.update(nb=True,
+                               nb_thresh_db=float(config.nb_threshold_db),
+                               nb_tau=float(config.nb_tau_samples),
+                               nb_avg0=padc(state.nb_avg),
+                               nb_mask0=padc(state.nb_mask))
+            outs = sweep_lanes_chain(
                 padc(xr), padc(xi), padc(incs), padc(state.nco_phase),
                 w_ssb, w_pbt,
                 padc(state.sb_tail[:, :128]), padc(state.sb_tail[:, 128:]),
@@ -357,6 +387,10 @@ class FusedNRBank:
                 dc0=padc(state.dc), pll0=state.pll,
                 sample_rate=config.sample_rate,
                 precision=fold_prec, **spec_kw)
+            (l, r, atail, env, w2, win2, dly2, dc2, pll2,
+             nfl2, stl2, str2) = outs[:12]
+            nb_avg2 = outs[12][:c] if nb_on else state.nb_avg
+            nb_mask2 = outs[13][:c] if nb_on else state.nb_mask
             l = l[:c]
             r = l if kind == "lms" else r[:c]   # mono copy R<-L for DNR
             new_state = FusedNRBankState(
@@ -377,10 +411,12 @@ class FusedNRBank:
                 spec_tail_r=str2[:c] if kind == "spectral"
                 else state.spec_tail_r,
                 dc=dc2[:c], pll=pll2,
+                nb_avg=nb_avg2, nb_mask=nb_mask2,
             )
             return {"audio_l": l, "audio_r": r}, new_state
 
-        fold_spectral = fold and kind == "spectral" and demod == "ssb"
+        fold_spectral = (fold and kind == "spectral" and demod == "ssb"
+                         and not config.noise_blanker)
         if fold and kind == "spectral":
             from radiodsp_sdr_rx_tpu.ops.spectral_sub import spectral_matmul_ops
             w_sf, w_si = spectral_matmul_ops(config.fft_length)
@@ -424,6 +460,7 @@ class FusedNRBank:
                 lms_first=state.lms_first,
                 nfloor=nfloor, spec_tail_l=spec_l, spec_tail_r=spec_r,
                 dc=state.dc, pll=state.pll,
+                nb_avg=state.nb_avg, nb_mask=state.nb_mask,
             )
             return {"audio_l": l, "audio_r": r}, new_state
 
@@ -484,6 +521,7 @@ class FusedNRBank:
                 lms_first=upd.get("lms_first", state.lms_first),
                 nfloor=nfloor, spec_tail_l=spec_l, spec_tail_r=spec_r,
                 dc=state.dc, pll=state.pll,
+                nb_avg=state.nb_avg, nb_mask=state.nb_mask,
             )
             return {"audio_l": l * out_gain, "audio_r": r * out_gain}, new_state
 
@@ -512,6 +550,8 @@ class FusedNRBank:
             spec_tail_r=np.zeros((c, 128), np.float32),
             dc=np.zeros((c, 2), np.float32),
             pll=np.zeros((2, lanes), np.float32),
+            nb_avg=np.zeros(c, np.float32),
+            nb_mask=np.ones((c, 128), np.float32),
         )
 
     def process_planar(self, xr, xi, state: FusedNRBankState):
@@ -538,6 +578,8 @@ class FusedSAMBankState(NamedTuple):
     sb_tail: jax.Array     # (C, 256) f32 [re|im] framing tail (see above)
     audio_tail: jax.Array  # (C, 128) f32 PBT framing tail
     agc_env: jax.Array     # (C,) f32
+    nb_avg: jax.Array      # (C,) f32 noise-blanker running-average carry
+    nb_mask: jax.Array     # (C, 128) f32 NB keep mask of the tail block
     sam_phase: jax.Array   # (lanes,) f32 PLL phase (padded to lane width)
     sam_freq: jax.Array    # (lanes,) f32 PLL frequency
     sam_dc: jax.Array      # (C, 2) f32 DC-blocker carry
@@ -578,8 +620,12 @@ class FusedSAMBank:
         if config.mode != DemodMode.SAM:
             raise ValueError("FusedSAMBank covers SAM; use FusedAMBank or "
                              "ReceiverBank")
-        if config.nr.kind != "off" or config.noise_blanker:
-            raise ValueError("NR/noise-blanker configs use ReceiverBank")
+        if config.nr.kind != "off":
+            raise ValueError("SAM + NR runs on FusedNRBank")
+        if config.noise_blanker and not fold:
+            raise ValueError("the noise blanker folds into the Pallas "
+                             "kernels (fold=True); the staged oracle is "
+                             "ReceiverBank")
         if len(freqs_hz) > LANES and not fold:
             raise ValueError(f"FusedSAMBank supports <= {LANES} channels on "
                              "the staged path (fold=True lifts the ceiling)")
@@ -638,6 +684,7 @@ class FusedSAMBank:
                 audio_tail=audio[:, -128:],
                 agc_env=env,
                 sam_phase=pll_p, sam_freq=pll_f, sam_dc=dc,
+                nb_avg=state.nb_avg, nb_mask=state.nb_mask,
             )
             return {"audio_l": l * out_gain, "audio_r": r * out_gain}, new_state
 
@@ -683,11 +730,18 @@ class FusedSAMBank:
 
             interp = interpret or jax.default_backend() == "cpu"
 
+            nb_on = bool(config.noise_blanker)
+            nb_kw = dict(nb=True,
+                         nb_thresh_db=float(config.nb_threshold_db),
+                         nb_tau=float(config.nb_tau_samples)) if nb_on else {}
+
             def run_seg(carry, seg):
                 sxr, sxi, tr, ti = seg
-                phase, atail, env, dc, pll = carry
+                phase, atail, env, dc, pll, nbavg, nbmask = carry
+                if nb_on:
+                    nb_kw.update(nb_avg0=padc(nbavg), nb_mask0=padc(nbmask))
                 if g_wide > 1:
-                    l, r, atail2, env2, dc2, pll2 = sweep_sam_wide(
+                    outs = sweep_sam_wide(
                         padc(sxr), padc(sxi), padc(incs), padc(phase),
                         w_sb, w_pbt,
                         padc(tr), padc(ti), padc(atail), padc(env),
@@ -699,10 +753,12 @@ class FusedSAMBank:
                         agc_enabled=bool(agc_params.enabled),
                         out_gain=float(out_gain), interpret=interp,
                         in_gain=float(in_gain), iq_balance=float(balance),
-                        sample_rate=fs, precision=fold_prec)
+                        sample_rate=fs, precision=fold_prec, **nb_kw)
+                    l, r, atail2, env2, dc2, pll2 = outs[:6]
+                    nbavg2 = outs[6][:c] if nb_on else nbavg
+                    nbmask2 = outs[7][:c] if nb_on else nbmask
                 else:
-                    (l, r, atail2, env2, _, _, _, dc2, pll2,
-                     _, _, _) = sweep_lanes_chain(
+                    outs = sweep_lanes_chain(
                         padc(sxr), padc(sxi), padc(incs), padc(phase),
                         w_sb, w_pbt,
                         padc(tr), padc(ti), padc(atail), padc(env),
@@ -715,16 +771,22 @@ class FusedSAMBank:
                         in_gain=float(in_gain), iq_balance=float(balance),
                         dc0=padc(dc), pll0=pll,
                         sample_rate=fs,
-                        precision=fold_prec)
+                        precision=fold_prec, **nb_kw)
+                    (l, r, atail2, env2, _, _, _, dc2, pll2,
+                     _, _, _) = outs[:12]
+                    nbavg2 = outs[12][:c] if nb_on else nbavg
+                    nbmask2 = outs[13][:c] if nb_on else nbmask
                 kseg = sxr.shape[-1]
                 carry2 = (phase + jnp.asarray(kseg, jnp.uint32)
                           * incs.astype(jnp.uint32),
-                          atail2[:c], env2[:c], dc2[:c], pll2)
+                          atail2[:c], env2[:c], dc2[:c], pll2,
+                          nbavg2, nbmask2)
                 return carry2, (l[:c], r[:c])
 
             carry0 = (state.nco_phase, state.audio_tail, state.agc_env,
                       state.sam_dc,
-                      jnp.stack([state.sam_phase, state.sam_freq], axis=0))
+                      jnp.stack([state.sam_phase, state.sam_freq], axis=0),
+                      state.nb_avg, state.nb_mask)
             tail_r0, tail_i0 = state.sb_tail[:, :128], state.sb_tail[:, 128:]
             m = (n // _KSEG) * _KSEG if n > _KSEG else n
             if n > _KSEG:
@@ -754,7 +816,7 @@ class FusedSAMBank:
                     r = jnp.concatenate([r, rt], axis=1)
             else:
                 carry, (l, r) = run_seg(carry0, (xr, xi, tail_r0, tail_i0))
-            phase, atail, env, dc, pll = carry
+            phase, atail, env, dc, pll, nbavg, nbmask = carry
             new_state = FusedSAMBankState(
                 nco_phase=phase,
                 # RAW input tail — re-scaled and re-mixed in-kernel
@@ -762,6 +824,7 @@ class FusedSAMBank:
                 audio_tail=atail,
                 agc_env=env,
                 sam_phase=pll[0], sam_freq=pll[1], sam_dc=dc,
+                nb_avg=nbavg, nb_mask=nbmask,
             )
             return {"audio_l": l, "audio_r": r}, new_state
 
@@ -778,6 +841,8 @@ class FusedSAMBank:
             sam_phase=np.zeros(lanes, np.float32),
             sam_freq=np.zeros(lanes, np.float32),
             sam_dc=np.zeros((c, 2), np.float32),
+            nb_avg=np.zeros(c, np.float32),
+            nb_mask=np.ones((c, 128), np.float32),
         )
 
     def process_planar(self, xr, xi, state: FusedSAMBankState):
@@ -799,6 +864,8 @@ class FusedAMBankState(NamedTuple):
     audio_tail: jax.Array  # (C, 128) f32 PBT framing tail
     agc_env: jax.Array     # (C,) f32
     am_dc: jax.Array       # (C, 2) f32 DC-blocker carry [last env in, last out]
+    nb_avg: jax.Array      # (C,) f32 noise-blanker running-average carry
+    nb_mask: jax.Array     # (C, 128) f32 NB keep mask of the tail block
 
 
 class FusedAMBank:
@@ -814,8 +881,8 @@ class FusedAMBank:
         if config.mode != DemodMode.AM:
             raise ValueError("FusedAMBank covers AM; use FusedSSBBank or "
                              "ReceiverBank")
-        if config.nr.kind != "off" or config.noise_blanker:
-            raise ValueError("NR/noise-blanker configs use ReceiverBank")
+        if config.nr.kind != "off":
+            raise ValueError("NR configs use FusedNRBank/ReceiverBank")
         self.config = config
         self.n_channels = len(freqs_hz)
         p = build_params(config)
@@ -838,7 +905,7 @@ class FusedAMBank:
             # gain/balance fold into the kernel (see FusedSSBBank.fn_sweep);
             # sb_tail carries the RAW input's last block
             from radiodsp_sdr_rx_tpu.ops.pallas_sweep import sweep_am_chain
-            l, r, atail, env, dc = sweep_am_chain(
+            out = sweep_am_chain(
                 xr, xi, incs, state.nco_phase,
                 w_sb, w_pbt,
                 state.sb_tail[:, :128], state.sb_tail[:, 128:],
@@ -850,9 +917,18 @@ class FusedAMBank:
                 block_c=block_c, chunk_t=block_t, interpret=interpret,
                 in_gain=float(in_gain),
                 iq_balance=float(config.iq_gain_balance),
+                nb=bool(config.noise_blanker),
+                nb_thresh_db=float(config.nb_threshold_db),
+                nb_tau=float(config.nb_tau_samples),
+                nb_avg0=state.nb_avg, nb_mask0=state.nb_mask,
                 precision=None if kernel_precision is None
                 else _PRECISIONS[kernel_precision],
             )
+            if config.noise_blanker:
+                l, r, atail, env, dc, nb_avg, nb_mask = out
+            else:
+                l, r, atail, env, dc = out
+                nb_avg, nb_mask = state.nb_avg, state.nb_mask
             new_state = FusedAMBankState(
                 nco_phase=state.nco_phase
                 + jnp.asarray(n, jnp.uint32) * incs.astype(jnp.uint32),
@@ -860,6 +936,7 @@ class FusedAMBank:
                 audio_tail=atail,
                 agc_env=env,
                 am_dc=dc,
+                nb_avg=nb_avg, nb_mask=nb_mask,
             )
             return {"audio_l": l, "audio_r": r}, new_state
 
@@ -873,6 +950,8 @@ class FusedAMBank:
             audio_tail=np.zeros((c, 128), np.float32),
             agc_env=np.full(c, 1e-6, np.float32),
             am_dc=np.zeros((c, 2), np.float32),
+            nb_avg=np.zeros(c, np.float32),
+            nb_mask=np.ones((c, 128), np.float32),
         )
 
     def process_planar(self, xr, xi, state: FusedAMBankState):

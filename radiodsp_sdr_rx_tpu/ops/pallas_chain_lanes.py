@@ -96,21 +96,22 @@ def _transpose_mxu(x: jax.Array, ident: jax.Array,
 def _lanes_chain_kernel(
     inc_ref, phase0_ref, tin_r_ref, tin_i_ref, atail_in_ref, env0_ref,
     w_lms_in, win_lms_in, delay_in, flags_ref, dcx0_ref, dcy0_ref, pll0_ref,
-    nfl0_ref, stl_in_ref, str_in_ref,
+    nfl0_ref, stl_in_ref, str_in_ref, nbavg0_ref, nbmask0_ref,
     xr_hbm, xi_hbm, w_ref, wpbt_ref, wsf_ref, wsi_ref, ident_ref,
     l_hbm, r_hbm, atail_out_ref, env_out_ref,
     w_lms_out, win_lms_out, delay_out, dcx_out_ref, dcy_out_ref, pll_out_ref,
-    nfl_out_ref, stl_out_ref, str_out_ref,
+    nfl_out_ref, stl_out_ref, str_out_ref, nbavg_out_ref, nbmask_out_ref,
     buf_r, buf_i, buf_l, buf_ro, sem_r, sem_i, sem_l, sem_ro,
     tail_r, tail_i, audio_tail, env_carry,
     t_buf, d_buf, lms_w, lms_win, lms_prev, dcx, dcy, pll_st, t_buf2,
-    nfl_carry, st_l, st_r,
+    nfl_carry, st_l, st_r, nbavg, nbmask,
     *, chunk_nb: int, n_chunks: int, out_gain: float,
     agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, demod: str, nr: str, mu: float, group: int, taps: int,
     nr_gain: float,
     dc_pole: float, pll_kp: float, pll_ki: float, pll_max_freq: float,
     in_gain: float = 1.0, iq_balance: float = 1.0,
+    nb: bool = False, nb_thresh: float = 3.1623, nb_a: float = 0.998047,
     precision=None, unroll_lms: bool = True,
 ):
     """One kernel instance = the whole 128-channel bank, streaming time.
@@ -175,8 +176,15 @@ def _lanes_chain_kernel(
     if scaled:
         tr_in = tr_in * g_i
         ti_in = ti_in * g_q
-    tail_r[:] = (tr_in * ct + ti_in * st_)[:, 0, :]
-    tail_i[:] = (ti_in * ct - tr_in * st_)[:, 0, :]
+    if nb:
+        # previous segment's last-block keep mask: blanking is a 0/1 gate
+        # that commutes with the scale + mix (ops/pallas_sweep NB fold)
+        tail_r[:] = (tr_in * ct + ti_in * st_)[:, 0, :] * nbmask0_ref[:]
+        tail_i[:] = (ti_in * ct - tr_in * st_)[:, 0, :] * nbmask0_ref[:]
+        nbavg[:] = jnp.broadcast_to(nbavg0_ref[:], (cb, 128))
+    else:
+        tail_r[:] = (tr_in * ct + ti_in * st_)[:, 0, :]
+        tail_i[:] = (ti_in * ct - tr_in * st_)[:, 0, :]
     audio_tail[:] = atail_in_ref[:]
     env_carry[:] = jnp.broadcast_to(env0_ref[:], (cb, 128))
     if lms:
@@ -205,6 +213,9 @@ def _lanes_chain_kernel(
     r_lane = jnp.exp(np.float32(np.log(agc_release)) * lane1) \
         if agc_release < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
     release128 = float(np.float64(agc_release) ** 128)
+    if nb:
+        a_lane = jnp.exp(np.float32(np.log(nb_a)) * lane1)
+        nb_a128 = float(np.float64(nb_a) ** 128)
     if demod in ("am", "sam"):
         p_lane = jnp.exp(np.float32(np.log(dc_pole)) * lane1) \
             if dc_pole < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
@@ -432,6 +443,24 @@ def _lanes_chain_kernel(
         if scaled:
             xr = xr * g_i
             xi = xi * g_q
+
+        if nb:
+            # ---- noise blanker (AudioSDR NB, RadioDSP_SDR_RX.ino:129-131):
+            # decaying-sum running-average magnitude, zero outliers ----
+            mag = jnp.sqrt(xr * xr + xi * xi)
+            run_a = _iir_lanes(np.float32(1.0 - nb_a) * mag, nb_a)
+            seq_a = jnp.concatenate(
+                [nbavg[:][:, 0:1], run_a[:, :-1, 127]], axis=1)
+            carry_a = _iir_rows(seq_a, nb_a128)
+            avg = run_a + carry_a[:, :, None] * a_lane
+            keep = mag <= avg * np.float32(nb_thresh) + np.float32(1e-12)
+            zero = jnp.zeros_like(xr)
+            xr = jnp.where(keep, xr, zero)
+            xi = jnp.where(keep, xi, zero)
+            nbavg[:] = jnp.broadcast_to(
+                avg[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+            nbmask[:] = keep[:, chunk_nb - 1, :].astype(jnp.float32)
+
         br = xr * c + xi * s
         bi = xi * c - xr * s
 
@@ -550,6 +579,8 @@ def _lanes_chain_kernel(
         nfl_out_ref[:] = jnp.zeros_like(nfl_out_ref)
         stl_out_ref[:] = jnp.zeros_like(stl_out_ref)
         str_out_ref[:] = jnp.zeros_like(str_out_ref)
+    nbavg_out_ref[:] = nbavg[:] if nb else jnp.zeros_like(nbavg_out_ref)
+    nbmask_out_ref[:] = nbmask[:] if nb else jnp.ones_like(nbmask_out_ref)
 
 
 def sweep_lanes_chain(
@@ -589,6 +620,12 @@ def sweep_lanes_chain(
     dc_pole: float = 0.995,
     pll_bw_hz: float = 100.0,
     sample_rate: float = 44117.64706,
+    # noise blanker (pre-mix, AudioSDR NB)
+    nb: bool = False,
+    nb_thresh_db: float = 10.0,
+    nb_tau: float = 512.0,
+    nb_avg0: jax.Array | None = None,       # (C,)
+    nb_mask0: jax.Array | None = None,      # (C, 128)
     # spectral NR
     w_spec_fwd: jax.Array | None = None,    # (512, 512)
     w_spec_inv: jax.Array | None = None,    # (512, 256)
@@ -687,6 +724,11 @@ def sweep_lanes_chain(
         stl_in = jnp.zeros((c, 128), jnp.float32)
         str_in = jnp.zeros((c, 128), jnp.float32)
 
+    import math as _math
+    if nb_avg0 is None:
+        nb_avg0 = jnp.zeros((c,), jnp.float32)
+    if nb_mask0 is None:
+        nb_mask0 = jnp.ones((c, 128), jnp.float32)
     kernel = functools.partial(
         _lanes_chain_kernel, chunk_nb=chunk_nb, n_chunks=n_chunks,
         out_gain=float(out_gain), agc_release=float(agc_release),
@@ -695,6 +737,8 @@ def sweep_lanes_chain(
         group=int(group), taps=taps, nr_gain=nr_gain, dc_pole=float(dc_pole),
         pll_kp=kp, pll_ki=ki, pll_max_freq=max_freq,
         in_gain=float(in_gain), iq_balance=float(iq_balance),
+        nb=bool(nb), nb_thresh=float(10.0 ** (nb_thresh_db / 20.0)),
+        nb_a=float(_math.exp(-1.0 / nb_tau)),
         precision=precision,
         # full static unrolling of the LMS macro stream is the production
         # default; interpret mode (CPU tests) keeps the numerically
@@ -738,6 +782,7 @@ def sweep_lanes_chain(
             lspec(taps), lspec(taps), lspec(128),
             shared((1, 1)), col, col, lspec(2),
             col, cspec(LANES), cspec(LANES),
+            col, cspec(LANES),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             shared((512, w_out)), shared((256, 256)),
@@ -751,6 +796,7 @@ def sweep_lanes_chain(
             lspec(taps), lspec(taps), lspec(128),
             cspec(LANES), cspec(LANES), lspec(2),
             cspec(LANES), cspec(LANES), cspec(LANES),
+            cspec(LANES), cspec(LANES),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, n // 128, 128), jnp.float32),
@@ -763,6 +809,8 @@ def sweep_lanes_chain(
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((2, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
@@ -781,6 +829,7 @@ def sweep_lanes_chain(
             # t_buf2: SAM's imaginary plane only
             tchunk if demod == "sam" else pltpu.VMEM((8, 128), jnp.float32),
             cvec, cvec, cvec,   # nfl_carry, st_l, st_r (spectral)
+            cvec, cvec,         # nbavg, nbmask (noise blanker)
         ],
         # the backend's 16 MB scoped-VMEM DEFAULT is what rejected chunk_t
         # 2048+ all of rounds 3-4 (misdiagnosed as VMEM-budget math: the
@@ -795,12 +844,19 @@ def sweep_lanes_chain(
       jnp.asarray(env0, jnp.float32)[:, None],
       w_in, win_in, dly_in, flags, dc_in[:, 0:1], dc_in[:, 1:2], pll_in,
       nfl_in[:, None], stl_in, str_in,
+      jnp.asarray(nb_avg0, jnp.float32)[:, None],
+      jnp.asarray(nb_mask0, jnp.float32),
       x3r, x3i, w, w_pbt, wsf_in, wsi_in, ident)
     (audio_l, audio_r, atail, env_out, w_out_a, win_out, dly_out,
-     dcx_out, dcy_out, pll_out, nfl_out, stl_out, str_out) = outs
+     dcx_out, dcy_out, pll_out, nfl_out, stl_out, str_out,
+     nbavg_out, nbmask_out) = outs
     audio_l = audio_l.reshape(c, n)
     audio_r = audio_r.reshape(c, n) if emit_r else None
     dc_next = jnp.stack([dcx_out[:, 0], dcy_out[:, 0]], axis=-1)
-    return (audio_l, audio_r, atail, env_out[:, 0],
+    base = (audio_l, audio_r, atail, env_out[:, 0],
             w_out_a, win_out, dly_out, dc_next, pll_out,
             nfl_out[:, 0], stl_out, str_out)
+    if nb:
+        # extended return with the blanker carries (see the sweep kernels)
+        return base + (nbavg_out[:, 0], nbmask_out)
+    return base

@@ -48,18 +48,19 @@ LANES = 128
 
 def _sam_wide_kernel(
     inc_ref, phase0_ref, tin_r_ref, tin_i_ref, atail_in_ref, env0_ref,
-    dcx0_ref, dcy0_ref, pll0_ref,
+    dcx0_ref, dcy0_ref, pll0_ref, nbavg0_ref, nbmask0_ref,
     xr_hbm, xi_hbm, w_ref, wpbt_ref, ident_ref,
     l_hbm, r_hbm, atail_out_ref, env_out_ref, dcx_out_ref, dcy_out_ref,
-    pll_out_ref,
+    pll_out_ref, nbavg_out_ref, nbmask_out_ref,
     buf_r, buf_i, buf_l, buf_ro, sem_r, sem_i, sem_l, sem_ro,
     tail_r, tail_i, audio_tail, env_carry, dcx, dcy,
-    zbuf_r, zbuf_i, pll_st,
+    zbuf_r, zbuf_i, pll_st, nbavg, nbmask,
     *, groups: int, chunk_nb: int, n_chunks: int, out_gain: float,
     agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, dc_pole: float,
     pll_kp: float, pll_ki: float, pll_max_freq: float,
-    in_gain: float, iq_balance: float, precision,
+    in_gain: float, iq_balance: float,
+    nb: bool, nb_thresh: float, nb_a: float, precision,
 ):
     """One instance = groups*128 channels; the PLL advances all of them per
     serial step. zbuf_r/zbuf_i: (chunk, G, 128) scratch (time leading);
@@ -106,8 +107,13 @@ def _sam_wide_kernel(
     if scaled:
         tr_in = tr_in * g_i
         ti_in = ti_in * g_q
-    tail_r[:] = (tr_in * ct + ti_in * st_)[:, 0, :]
-    tail_i[:] = (ti_in * ct - tr_in * st_)[:, 0, :]
+    if nb:
+        tail_r[:] = (tr_in * ct + ti_in * st_)[:, 0, :] * nbmask0_ref[:]
+        tail_i[:] = (ti_in * ct - tr_in * st_)[:, 0, :] * nbmask0_ref[:]
+        nbavg[:] = jnp.broadcast_to(nbavg0_ref[:], (cb, 128))
+    else:
+        tail_r[:] = (tr_in * ct + ti_in * st_)[:, 0, :]
+        tail_i[:] = (ti_in * ct - tr_in * st_)[:, 0, :]
     audio_tail[:] = atail_in_ref[:]
     env_carry[:] = jnp.broadcast_to(env0_ref[:], (cb, 128))
     dcx[:] = jnp.broadcast_to(dcx0_ref[:], (cb, 128))
@@ -129,6 +135,9 @@ def _sam_wide_kernel(
     p_lane = jnp.exp(np.float32(np.log(dc_pole)) * lane1) \
         if dc_pole < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
     pole128 = float(np.float64(dc_pole) ** 128)
+    if nb:
+        a_lane = jnp.exp(np.float32(np.log(nb_a)) * lane1)
+        nb_a128 = float(np.float64(nb_a) ** 128)
 
     def process(t, slot: int):
         @pl.when(t + 1 < n_chunks)
@@ -150,6 +159,21 @@ def _sam_wide_kernel(
         if scaled:
             xr = xr * g_i
             xi = xi * g_q
+        if nb:
+            # noise blanker pre-mix (same fold as ops/pallas_sweep)
+            mag = jnp.sqrt(xr * xr + xi * xi)
+            run_a = _iir_lanes(np.float32(1.0 - nb_a) * mag, nb_a)
+            seq_a = jnp.concatenate(
+                [nbavg[:][:, 0:1], run_a[:, :-1, 127]], axis=1)
+            carry_a = _iir_rows(seq_a, nb_a128)
+            avg = run_a + carry_a[:, :, None] * a_lane
+            keep = mag <= avg * np.float32(nb_thresh) + np.float32(1e-12)
+            zero = jnp.zeros_like(xr)
+            xr = jnp.where(keep, xr, zero)
+            xi = jnp.where(keep, xi, zero)
+            nbavg[:] = jnp.broadcast_to(
+                avg[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+            nbmask[:] = keep[:, chunk_nb - 1, :].astype(jnp.float32)
         br = xr * c + xi * s
         bi = xi * c - xr * s
 
@@ -281,6 +305,8 @@ def _sam_wide_kernel(
     dcx_out_ref[:] = dcx[:]
     dcy_out_ref[:] = dcy[:]
     pll_out_ref[0] = pll_st[:]
+    nbavg_out_ref[:] = nbavg[:] if nb else jnp.zeros_like(nbavg_out_ref)
+    nbmask_out_ref[:] = nbmask[:] if nb else jnp.ones_like(nbmask_out_ref)
 
 
 def sweep_sam_wide(
@@ -310,6 +336,11 @@ def sweep_sam_wide(
     interpret: bool = False,
     in_gain: float = 1.0,
     iq_balance: float = 1.0,
+    nb: bool = False,
+    nb_thresh_db: float = 10.0,
+    nb_tau: float = 512.0,
+    nb_avg0: jax.Array | None = None,
+    nb_mask0: jax.Array | None = None,
     precision=jax.lax.Precision.HIGH,
 ):
     """Whole SAM chain, G lane groups per serial PLL stream.
@@ -345,6 +376,11 @@ def sweep_sam_wide(
         pll0[1].reshape(c // LANES, LANES),
     ], axis=0)  # (2*(c/128), 128) — blocked per G below
 
+    import math as _math
+    if nb_avg0 is None:
+        nb_avg0 = jnp.zeros((c,), jnp.float32)
+    if nb_mask0 is None:
+        nb_mask0 = jnp.ones((c, 128), jnp.float32)
     kernel = functools.partial(
         _sam_wide_kernel, groups=G, chunk_nb=chunk_nb, n_chunks=n_chunks,
         out_gain=float(out_gain), agc_release=float(agc_release),
@@ -352,6 +388,8 @@ def sweep_sam_wide(
         agc_enabled=bool(agc_enabled), dc_pole=float(dc_pole),
         pll_kp=kp, pll_ki=ki, pll_max_freq=max_freq,
         in_gain=float(in_gain), iq_balance=float(iq_balance),
+        nb=bool(nb), nb_thresh=float(10.0 ** (nb_thresh_db / 20.0)),
+        nb_a=float(_math.exp(-1.0 / nb_tau)),
         precision=precision)
 
     cb = G * LANES
@@ -391,6 +429,7 @@ def sweep_sam_wide(
             col, col,
             cspec(cb), cspec(cb), cspec(cb), col,
             col, col, pll_spec,
+            col, cspec(cb),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((512, 256), lambda ci: (0, 0),
@@ -404,6 +443,7 @@ def sweep_sam_wide(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             cspec(cb), cspec(cb), cspec(cb), cspec(cb), pll_spec,
+            cspec(cb), cspec(cb),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, n // 128, 128), jnp.float32),
@@ -413,12 +453,15 @@ def sweep_sam_wide(
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_inst, 2 * G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
         ],
         scratch_shapes=[
             buf, buf, buf1, buf1, sem, sem, sem1, sem1,
             cvec, cvec, cvec, cvec, cvec, cvec,
             zbuf, zbuf,
             pltpu.VMEM((2 * G, 128), jnp.float32),
+            cvec, cvec,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -427,13 +470,20 @@ def sweep_sam_wide(
       jnp.asarray(env0, jnp.float32)[:, None],
       jnp.asarray(dc0, jnp.float32)[:, 0:1],
       jnp.asarray(dc0, jnp.float32)[:, 1:2],
-      pll_in, x3r, x3i, w_sb, w_pbt, ident)
-    (audio_l, audio_r, atail, env_out, dcx_out, dcy_out, pll_out) = outs
+      pll_in,
+      jnp.asarray(nb_avg0, jnp.float32)[:, None],
+      jnp.asarray(nb_mask0, jnp.float32),
+      x3r, x3i, w_sb, w_pbt, ident)
+    (audio_l, audio_r, atail, env_out, dcx_out, dcy_out, pll_out,
+     nbavg_out, nbmask_out) = outs
 
     # (n_inst, 2G, 128): per-instance [phase G rows | freq G rows]
     phase_out = pll_out[:, 0:G].reshape(c)
     freq_out = pll_out[:, G:2 * G].reshape(c)
 
     dc_next = jnp.stack([dcx_out[:, 0], dcy_out[:, 0]], axis=-1)
-    return (audio_l.reshape(c, n), audio_r.reshape(c, n), atail,
+    base = (audio_l.reshape(c, n), audio_r.reshape(c, n), atail,
             env_out[:, 0], dc_next, jnp.stack([phase_out, freq_out], axis=0))
+    if nb:
+        return base + (nbavg_out[:, 0], nbmask_out)
+    return base

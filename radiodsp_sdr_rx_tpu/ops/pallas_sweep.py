@@ -260,15 +260,17 @@ def _iir_rows(seq: jax.Array, pole128: float) -> jax.Array:
 
 def _chain_kernel(
     inc_ref, phase0_ref, tin_r_ref, tin_i_ref, atail_in_ref, env0_ref,
-    dcx0_ref, dcy0_ref,
+    dcx0_ref, dcy0_ref, nbavg0_ref, nbmask0_ref,
     xr_hbm, xi_hbm, w_ref, wpbt_ref,
     l_hbm, r_hbm, atail_out_ref, env_out_ref, dcx_out_ref, dcy_out_ref,
+    nbavg_out_ref, nbmask_out_ref,
     buf_r, buf_i, buf_l, buf_ro, sem_r, sem_i, sem_l, sem_ro,
-    tail_r, tail_i, audio_tail, env_carry, dcx, dcy,
+    tail_r, tail_i, audio_tail, env_carry, dcx, dcy, nbavg, nbmask,
     *, chunk_nb: int, n_chunks: int, out_gain: float,
     agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, emit_r: bool, demod: str, dc_pole: float,
     in_gain: float = 1.0, iq_balance: float = 1.0,
+    nb: bool = False, nb_thresh: float = 3.1623, nb_a: float = 0.998047,
     precision=None,
 ):
     """The whole reference conv-engine chain for one channel block, streaming
@@ -322,8 +324,16 @@ def _chain_kernel(
     if scaled:
         tr_in = tr_in * g_i
         ti_in = ti_in * g_q
-    tail_r[:] = (tr_in * ct + ti_in * st)[:, 0, :]
-    tail_i[:] = (ti_in * ct - tr_in * st)[:, 0, :]
+    if nb:
+        # previous segment's last-block keep mask: blanking is a 0/1 gate
+        # that commutes with the scale + mix, so masking the re-mixed tail
+        # reproduces the XLA chain's blank-before-framing exactly
+        tail_r[:] = (tr_in * ct + ti_in * st)[:, 0, :] * nbmask0_ref[:]
+        tail_i[:] = (ti_in * ct - tr_in * st)[:, 0, :] * nbmask0_ref[:]
+        nbavg[:] = jnp.broadcast_to(nbavg0_ref[:], (cb, 128))
+    else:
+        tail_r[:] = (tr_in * ct + ti_in * st)[:, 0, :]
+        tail_i[:] = (ti_in * ct - tr_in * st)[:, 0, :]
     audio_tail[:] = atail_in_ref[:]
     env_carry[:] = jnp.broadcast_to(env0_ref[:], (cb, 128))
     if demod == "am":
@@ -348,6 +358,9 @@ def _chain_kernel(
         p_lane = jnp.exp(np.float32(np.log(dc_pole)) * lane1) \
             if dc_pole < 1.0 else jnp.ones((1, 1, 128), jnp.float32)
         pole128 = float(np.float64(dc_pole) ** 128)
+    if nb:
+        a_lane = jnp.exp(np.float32(np.log(nb_a)) * lane1)
+        nb_a128 = float(np.float64(nb_a) ** 128)
 
     def process(t, slot: int):
         @pl.when(t + 1 < n_chunks)
@@ -369,6 +382,26 @@ def _chain_kernel(
         if scaled:
             xr = xr * g_i
             xi = xi * g_q
+
+        if nb:
+            # ---- noise blanker (AudioSDR NB, RadioDSP_SDR_RX.ino:129-131):
+            # one-pole running-average magnitude (the decaying-SUM doubling
+            # scan, same row-carry pattern as the AM DC blocker), zero any
+            # sample whose magnitude exceeds avg * threshold ----
+            mag = jnp.sqrt(xr * xr + xi * xi)
+            run_a = _iir_lanes(np.float32(1.0 - nb_a) * mag, nb_a)
+            seq_a = jnp.concatenate(
+                [nbavg[:][:, 0:1], run_a[:, :-1, 127]], axis=1)
+            carry_a = _iir_rows(seq_a, nb_a128)
+            avg = run_a + carry_a[:, :, None] * a_lane
+            keep = mag <= avg * np.float32(nb_thresh) + np.float32(1e-12)
+            zero = jnp.zeros_like(xr)
+            xr = jnp.where(keep, xr, zero)
+            xi = jnp.where(keep, xi, zero)
+            nbavg[:] = jnp.broadcast_to(
+                avg[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+            nbmask[:] = keep[:, chunk_nb - 1, :].astype(jnp.float32)
+
         br = xr * c + xi * s
         bi = xi * c - xr * s
 
@@ -473,6 +506,8 @@ def _chain_kernel(
     else:
         dcx_out_ref[:] = jnp.zeros_like(dcx_out_ref)
         dcy_out_ref[:] = jnp.zeros_like(dcy_out_ref)
+    nbavg_out_ref[:] = nbavg[:] if nb else jnp.zeros_like(nbavg_out_ref)
+    nbmask_out_ref[:] = nbmask[:] if nb else jnp.ones_like(nbmask_out_ref)
 
 
 def _sweep_chain(
@@ -480,7 +515,9 @@ def _sweep_chain(
     *, demod: str, agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, out_gain: float, dc_pole: float,
     block_c: int, chunk_t: int, emit_r: bool, interpret: bool,
-    in_gain: float = 1.0, iq_balance: float = 1.0, precision=None,
+    in_gain: float = 1.0, iq_balance: float = 1.0,
+    nb: bool = False, nb_thresh_db: float = 10.0, nb_tau: float = 512.0,
+    nb_avg0=None, nb_mask0=None, precision=None,
 ):
     """Shared pallas_call wrapper for the full-chain sweep kernels."""
     if not (0.0 < dc_pole <= 1.0):
@@ -498,13 +535,20 @@ def _sweep_chain(
     x3i = xi.reshape(c, n // 128, 128)
     w_in = 512
     w_out = 256 if demod == "am" else 128
+    import math as _math
     kernel = functools.partial(
         _chain_kernel, chunk_nb=chunk_nb, n_chunks=n_chunks,
         out_gain=out_gain, agc_release=float(agc_release),
         agc_target=agc_target, agc_max_gain=agc_max_gain,
         agc_enabled=agc_enabled, emit_r=emit_r, demod=demod,
         dc_pole=float(dc_pole), in_gain=float(in_gain),
-        iq_balance=float(iq_balance), precision=precision)
+        iq_balance=float(iq_balance), nb=bool(nb),
+        nb_thresh=float(10.0 ** (nb_thresh_db / 20.0)),
+        nb_a=float(_math.exp(-1.0 / nb_tau)), precision=precision)
+    if nb_avg0 is None:
+        nb_avg0 = jnp.zeros((c,), jnp.float32)
+    if nb_mask0 is None:
+        nb_mask0 = jnp.ones((c, 128), jnp.float32)
 
     def vspec(shape):
         return pl.BlockSpec(shape, lambda ci: (ci,) + (0,) * (len(shape) - 1),
@@ -525,6 +569,7 @@ def _sweep_chain(
             vspec((block_c, 128)), vspec((block_c, 128)),
             vspec((block_c, 128)), vspec((block_c, 1)),
             vspec((block_c, 1)), vspec((block_c, 1)),
+            vspec((block_c, 1)), vspec((block_c, 128)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((w_in, w_out), lambda ci: (0, 0),
@@ -539,10 +584,14 @@ def _sweep_chain(
             vspec((block_c, 128)),
             vspec((block_c, 128)),
             vspec((block_c, 128)),
+            vspec((block_c, 128)),
+            vspec((block_c, 128)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, n // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, r_blocks, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, 128), jnp.float32),
@@ -556,17 +605,24 @@ def _sweep_chain(
             pltpu.VMEM((block_c, 128), jnp.float32),
             pltpu.VMEM((block_c, 128), jnp.float32),
             pltpu.VMEM((block_c, 128), jnp.float32),
+            pltpu.VMEM((block_c, 128), jnp.float32),
+            pltpu.VMEM((block_c, 128), jnp.float32),
         ],
         interpret=interpret,
     )(inc[:, None], phase0[:, None], tail_r, tail_i, audio_tail,
       jnp.asarray(env0, jnp.float32)[:, None],
-      dc0[:, 0:1], dc0[:, 1:2], x3r, x3i, w, w_pbt)
-    audio_l, audio_r, atail, env_out, dcx_out, dcy_out = outs
+      dc0[:, 0:1], dc0[:, 1:2],
+      jnp.asarray(nb_avg0, jnp.float32)[:, None],
+      jnp.asarray(nb_mask0, jnp.float32),
+      x3r, x3i, w, w_pbt)
+    (audio_l, audio_r, atail, env_out, dcx_out, dcy_out,
+     nbavg_out, nbmask_out) = outs
     env_next = env_out[:, 0]
     dc_next = jnp.stack([dcx_out[:, 0], dcy_out[:, 0]], axis=-1)
     audio_l = audio_l.reshape(c, n)
     audio_r = audio_r.reshape(c, n) if emit_r else None
-    return audio_l, audio_r, atail, env_next, dc_next
+    return (audio_l, audio_r, atail, env_next, dc_next,
+            nbavg_out[:, 0], nbmask_out)
 
 
 def sweep_full_chain(
@@ -591,6 +647,11 @@ def sweep_full_chain(
     interpret: bool = False,
     in_gain: float = 1.0,
     iq_balance: float = 1.0,
+    nb: bool = False,
+    nb_thresh_db: float = 10.0,
+    nb_tau: float = 512.0,
+    nb_avg0=None,
+    nb_mask0=None,
     precision=None,
 ):
     """Whole SSB receive chain in one single-sweep Pallas kernel.
@@ -610,16 +671,24 @@ def sweep_full_chain(
 
     Returns (audio_l, audio_r, audio_tail_next, env_next); audio_r is None
     when emit_r=False. State semantics match models/fused.FusedSSBBank.
+    With nb=True (AudioSDR noise blanker folded before the mix,
+    RadioDSP_SDR_RX.ino:129-131) the return grows (..., nb_avg_next,
+    nb_mask_next): the running-average carry and the last block's keep mask
+    (applied to the re-mixed framing tail next segment).
     """
     c = xr.shape[0]
-    audio_l, audio_r, atail, env_next, _ = _sweep_chain(
+    audio_l, audio_r, atail, env_next, _, nbavg, nbmask = _sweep_chain(
         xr, xi, inc, phase0, w_ssb, w_pbt, tail_r, tail_i, audio_tail, env0,
         jnp.zeros((c, 2), jnp.float32),
         demod="ssb", agc_release=agc_release, agc_target=agc_target,
         agc_max_gain=agc_max_gain, agc_enabled=agc_enabled,
         out_gain=out_gain, dc_pole=1.0, block_c=block_c, chunk_t=chunk_t,
         emit_r=emit_r, interpret=interpret, in_gain=in_gain,
-        iq_balance=iq_balance, precision=precision)
+        iq_balance=iq_balance, nb=nb, nb_thresh_db=nb_thresh_db,
+        nb_tau=nb_tau, nb_avg0=nb_avg0, nb_mask0=nb_mask0,
+        precision=precision)
+    if nb:
+        return audio_l, audio_r, atail, env_next, nbavg, nbmask
     return audio_l, audio_r, atail, env_next
 
 
@@ -647,6 +716,11 @@ def sweep_am_chain(
     interpret: bool = False,
     in_gain: float = 1.0,
     iq_balance: float = 1.0,
+    nb: bool = False,
+    nb_thresh_db: float = 10.0,
+    nb_tau: float = 512.0,
+    nb_avg0=None,
+    nb_mask0=None,
     precision=None,
 ):
     """Whole AM receive chain in one single-sweep Pallas kernel.
@@ -661,13 +735,17 @@ def sweep_am_chain(
              (ops/iir.dc_blocker y0 semantics; zeros at stream start)
 
     Returns (audio_l, audio_r, audio_tail_next, env_next, dc_next) with
-    dc_next (C, 2); audio_r is None when emit_r=False.
+    dc_next (C, 2); audio_r is None when emit_r=False. With nb=True the
+    return grows (..., nb_avg_next, nb_mask_next) as in sweep_full_chain.
     """
-    return _sweep_chain(
+    out = _sweep_chain(
         xr, xi, inc, phase0, w_sb, w_pbt, tail_r, tail_i, audio_tail, env0,
         dc0,
         demod="am", agc_release=agc_release, agc_target=agc_target,
         agc_max_gain=agc_max_gain, agc_enabled=agc_enabled,
         out_gain=out_gain, dc_pole=dc_pole, block_c=block_c, chunk_t=chunk_t,
         emit_r=emit_r, interpret=interpret, in_gain=in_gain,
-        iq_balance=iq_balance, precision=precision)
+        iq_balance=iq_balance, nb=nb, nb_thresh_db=nb_thresh_db,
+        nb_tau=nb_tau, nb_avg0=nb_avg0, nb_mask0=nb_mask0,
+        precision=precision)
+    return out if nb else out[:5]

@@ -20,6 +20,7 @@ Sequential adaptive stages (LMS, SAM PLL) shard over *channels* instead.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import numpy as np
@@ -269,6 +270,7 @@ class ShardedChainState(NamedTuple):
     nfloor: jax.Array       # (C,) f32 spectral noise-floor carry
     spec_tail_l: jax.Array  # (C, half) f32 spectral frame carries (post-PBT L)
     spec_tail_r: jax.Array  # (C, half) f32
+    nb_avg: jax.Array       # (C,) f32 noise-blanker running-average carry
 
 
 def sharded_chain_init(n_channels: int, half: int = 128) -> ShardedChainState:
@@ -290,6 +292,7 @@ def sharded_chain_init(n_channels: int, half: int = 128) -> ShardedChainState:
         nfloor=np.zeros(c, np.float32),
         spec_tail_l=np.zeros((c, half), np.float32),
         spec_tail_r=np.zeros((c, half), np.float32),
+        nb_avg=np.zeros(c, np.float32),
     )
 
 
@@ -332,6 +335,9 @@ def make_full_sharded_chain(
     sample_rate: float = 44117.64706,
     lms_mu: float = 0.0316,
     nr_level: float = 30.0,
+    noise_blanker: bool = False,
+    nb_threshold_db: float = 10.0,
+    nb_tau: float = 512.0,
 ):
     """The COMPLETE 2-D sharded receiver chain: channels over one mesh axis,
     time over the other, including the adaptive stages the 1-D chains skip
@@ -372,14 +378,28 @@ def make_full_sharded_chain(
     w_spec_fwd, w_spec_inv = spectral_matmul_ops(256)
     spec_gain = float(nr_level) * 1.5 / float(VAD_END_BIN - VAD_START_BIN)
 
+    nb_a = float(math.exp(-1.0 / nb_tau))
+    nb_th = float(10.0 ** (nb_threshold_db / 20.0))
+
     def local_chain_1d(iq, inc, sb_tail0, atail0, env0, phase_base, dc0,
-                       w_sb, w_audio, rel, tgt, mg, agc_on, out_gain):
+                       nbavg0, w_sb, w_audio, rel, tgt, mg, agc_on, out_gain):
         """One channel's time shard (time collectives only)."""
         n_local = iq.shape[-1]
         idx = jax.lax.axis_index(time_axis)
         half = w_sb.shape[1] // 2
         phase0 = (phase_base
                   + idx.astype(jnp.uint32) * jnp.uint32(n_local) * inc)
+        nbavg1 = nbavg0
+        if noise_blanker:
+            # pre-mix noise blanker: the running-average one-pole is an
+            # affine recurrence across the whole stream — the SAME exact
+            # cross-device fix-up as the DC blocker / spectral floor seams
+            mag = jnp.abs(iq)
+            avg = sharded_first_order_iir(mag, nb_a, 1.0 - nb_a, nbavg0,
+                                          time_axis)
+            keep = mag <= avg * jnp.float32(nb_th) + 1e-12
+            iq = jnp.where(keep, iq, jnp.zeros_like(iq))
+            nbavg1 = _last_shard_value(avg[..., -1], time_axis)
         z, _ = nco.nco_mix(iq, phase0, inc)
         z, my_tail = sharded_overlap_save(z, w_sb, sb_tail0, time_axis)
         sb_tail1 = _last_shard_value(my_tail, time_axis)
@@ -396,7 +416,7 @@ def make_full_sharded_chain(
         else:
             audio = demod_ops.demod_ssb(z) if mode == "usb" else z
             dc1 = dc0
-        return audio, sb_tail1, dc1
+        return audio, sb_tail1, dc1, nbavg1
 
     def agc_pbt_1d(audio, atail0, env0, w_audio, rel, tgt, mg, agc_on,
                    out_gain):
@@ -417,13 +437,13 @@ def make_full_sharded_chain(
         n_total = n_local * tdim
 
         # ---- linear front (vmapped channels; time collectives inside) ----
-        audio, sb_tail1, dc1 = jax.vmap(
+        audio, sb_tail1, dc1, nbavg1 = jax.vmap(
             local_chain_1d,
-            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None, None,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None, None,
                      None, None),
         )(iq, inc, state0.sb_tail, state0.audio_tail, state0.agc_env,
-          state0.nco_phase, state0.am_dc, w_sb, w_audio, rel, tgt, mg,
-          agc_on, out_gain)
+          state0.nco_phase, state0.am_dc, state0.nb_avg, w_sb, w_audio,
+          rel, tgt, mg, agc_on, out_gain)
 
         sam_phase1, sam_freq1 = state0.sam_phase, state0.sam_freq
         lms1 = state0.lms
@@ -545,6 +565,7 @@ def make_full_sharded_chain(
             sb_tail=sb_tail1, audio_tail=atail1, agc_env=env1, am_dc=dc1,
             sam_phase=sam_phase1, sam_freq=sam_freq1, lms=lms1,
             nfloor=nfloor1, spec_tail_l=stl1, spec_tail_r=str1,
+            nb_avg=nbavg1,
         )
         return audio, state1
 
@@ -556,7 +577,7 @@ def make_full_sharded_chain(
         lms=lms_ops.LMSState(weights=P(channel_axis), window=P(channel_axis),
                              delay=P(channel_axis), first=P()),
         nfloor=P(channel_axis), spec_tail_l=P(channel_axis),
-        spec_tail_r=P(channel_axis),
+        spec_tail_r=P(channel_axis), nb_avg=P(channel_axis),
     )
     sharded = jax.shard_map(
         local_block,

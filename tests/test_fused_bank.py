@@ -484,3 +484,111 @@ def test_fused_nr_am_sam_combos_match_reference_bank(rng, mode, nr):
     if nr is NRMode.DNR2:
         np.testing.assert_array_equal(np.asarray(of["audio_r"]),
                                       np.asarray(of["audio_l"]))  # R<-L
+
+
+def test_fused_nb_matches_reference_bank(rng):
+    """Noise blanker folded into the sweep kernel (round 5, VERDICT r4 #4):
+    FusedSSBBank(noise_blanker=True) == ReceiverBank on an impulse-laden
+    scene, state (incl. the NB average + tail keep mask) threaded across two
+    segments so blanked tail samples carry into the next segment's framing."""
+    n = 4096
+    cfg, freqs = _setup(n_ch=8)
+    cfg = cfg.with_(noise_blanker=True, nb_threshold_db=10.0,
+                    nb_tau_samples=256.0)
+    fused = FusedSSBBank(cfg, freqs, block_t=1024, interpret=True)
+    bank = ReceiverBank(cfg, freqs)
+
+    iq = ((rng.standard_normal((8, 2 * n)) + 1j
+           * rng.standard_normal((8, 2 * n))).astype(np.complex64) * 0.05)
+    # ignition-style impulses, incl. exactly at the segment boundary tail
+    for ch in range(8):
+        for pos in (500, 1733, n - 3, n - 1, n + 901):
+            iq[ch, pos] += 8.0 * (1 + 1j)
+    st_f, st_b = fused.init_state(), bank.init_state()
+    for sl in (slice(0, n), slice(n, 2 * n)):
+        of, st_f = fused.process(iq[:, sl], st_f)
+        ob, st_b = bank.process(iq[:, sl], st_b)
+        np.testing.assert_allclose(np.asarray(of["audio_l"]),
+                                   np.asarray(ob["audio_l"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st_f.nb_avg),
+                               np.asarray(st_b.nb_avg), rtol=1e-4)
+
+
+def test_fused_am_nb_matches_reference_bank(rng):
+    """Same NB fold on the AM sweep chain."""
+    from radiodsp_sdr_rx_tpu.models.fused import FusedAMBank
+
+    n = 4096
+    center = 7_050_000.0
+    freqs = [center + 2_000.0 * k for k in range(8)]
+    cfg = ReceiverConfig(mode=DemodMode.AM, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM,
+                         noise_blanker=True, nb_tau_samples=256.0)
+    fused = FusedAMBank(cfg, freqs, block_t=1024, interpret=True)
+    bank = ReceiverBank(cfg, freqs)
+    iq = ((rng.standard_normal((8, 2 * n)) + 1j
+           * rng.standard_normal((8, 2 * n))).astype(np.complex64) * 0.05)
+    iq[:, 700] += 6.0 * (1 - 1j)
+    iq[:, n - 2] += 6.0 * (1 + 1j)
+    st_f, st_b = fused.init_state(), bank.init_state()
+    for sl in (slice(0, n), slice(n, 2 * n)):
+        of, st_f = fused.process(iq[:, sl], st_f)
+        ob, st_b = bank.process(iq[:, sl], st_b)
+        np.testing.assert_allclose(np.asarray(of["audio_l"]),
+                                   np.asarray(ob["audio_l"]), atol=2e-3)
+
+
+def test_fused_nr_nb_matches_reference_bank(rng):
+    """NB + NR on the lanes kernel: FusedNRBank(USB+DNR2+NB) == ReceiverBank
+    across two segments (blanker average + keep-mask carries included)."""
+    from radiodsp_sdr_rx_tpu.models.fused import FusedNRBank
+
+    n, n_ch = 2048, 8
+    center = 7_050_000.0
+    freqs = [center + 2_000.0 * k for k in range(n_ch)]
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM,
+                         nr=NRMode.DNR2, noise_blanker=True,
+                         nb_tau_samples=256.0, matmul_precision="highest")
+    fused = FusedNRBank(cfg, freqs, fold_chunk=512, kernel_precision=None,
+                        interpret=True)
+    bank = ReceiverBank(cfg, freqs)
+    iq = ((rng.standard_normal((n_ch, 2 * n)) + 1j
+           * rng.standard_normal((n_ch, 2 * n))).astype(np.complex64) * 0.05)
+    iq[:, 300] += 5.0 * (1 + 1j)
+    iq[:, n - 1] += 5.0 * (1 - 1j)
+    st_f, st_b = fused.init_state(), bank.init_state()
+    for sl in (slice(0, n), slice(n, 2 * n)):
+        of, st_f = fused.process(iq[:, sl], st_f)
+        ob, st_b = bank.process(iq[:, sl], st_b)
+        np.testing.assert_allclose(np.asarray(of["audio_l"]),
+                                   np.asarray(ob["audio_l"]), atol=2e-3)
+
+
+def test_fused_sam_nb_matches_reference_bank(rng):
+    """NB on the folded SAM chain (lanes kernel, locked-carrier scene)."""
+    from radiodsp_sdr_rx_tpu.models.fused import FusedSAMBank
+
+    n, n_ch = 2048, 8
+    center = 7_050_000.0
+    freqs = [center + 100.0 * k for k in range(n_ch)]
+    cfg = ReceiverConfig(mode=DemodMode.SAM, vfo_freq=freqs[0],
+                         capture_center_freq=center, agc=AGCMode.MEDIUM,
+                         noise_blanker=True, nb_tau_samples=256.0)
+    fused = FusedSAMBank(cfg, freqs, sam_chunk=256, interpret=True,
+                         kernel_precision=None)
+    bank = ReceiverBank(cfg, freqs)
+    t = np.arange(2 * n) / FS
+    base = ((1.0 + 0.4 * np.sin(2 * np.pi * 400 * t))
+            * np.exp(2j * np.pi * 1000.0 * t))
+    iq = (np.stack([base] * n_ch).astype(np.complex64)
+          + (rng.standard_normal((n_ch, 2 * n))
+             + 1j * rng.standard_normal((n_ch, 2 * n)))
+          .astype(np.complex64) * 0.02)
+    iq[:, 700] += 6.0 * (1 + 1j)
+    st_f, st_b = fused.init_state(), bank.init_state()
+    for sl in (slice(0, n), slice(n, 2 * n)):
+        of, st_f = fused.process(iq[:, sl], st_f)
+        ob, st_b = bank.process(iq[:, sl], st_b)
+        np.testing.assert_allclose(np.asarray(of["audio_l"]),
+                                   np.asarray(ob["audio_l"]), atol=2e-3)

@@ -279,3 +279,48 @@ def test_manual_swap_iq():
     out_fixed, _ = rx_sw.process(swapped, rx_sw.init_state())
     np.testing.assert_allclose(np.asarray(out_fixed["audio_l"]),
                                np.asarray(out_clean["audio_l"]), atol=1e-6)
+
+
+def test_auto_iq_repair_midstream_slip():
+    """VERDICT r4 #5: the reference's detector runs PERSISTENTLY
+    (startAutoI2SerrorDetection in the ISR graph) — a slip that happens
+    MID-STREAM must be caught. Segments 0-4 are aligned; from segment 5 the
+    I channel slips one sample. With hysteresis 3 the repair must switch by
+    segment 7 and the image rejection must recover."""
+    from radiodsp_sdr_rx_tpu.models.config import (
+        AGCMode, DemodMode, ReceiverConfig,
+    )
+    from radiodsp_sdr_rx_tpu.models.receiver import Receiver
+
+    seg = 1 << 13
+    n_seg = 10
+    n = seg * n_seg
+    audio_in = np.sin(2 * np.pi * 1000.0 * np.arange(n) / FS)
+    iq = siggen.ssb_from_audio(audio_in, 10_000.0, FS, "usb", amp=0.2)
+    iq = iq + siggen.carrier(n, -12_000.0, FS, amp=0.6)
+    iq = (iq + siggen.noise(n, 0.002)).astype(np.complex64)
+    # the slip starts at segment 5: I advances one sample from there on
+    slip_at = 5 * seg
+    i2 = np.concatenate([iq.real[:slip_at], iq.real[slip_at + 1 :],
+                         iq.real[-1:]])
+    corrupted = (i2 + 1j * iq.imag).astype(np.complex64)
+
+    cfg = ReceiverConfig(mode=DemodMode.USB, vfo_freq=7_060_000.0,
+                         capture_center_freq=7_050_000.0, agc=AGCMode.OFF,
+                         auto_iq_repair=True)
+    rx = Receiver(cfg)
+    st = rx.init_state()
+    outs, idxs = [], []
+    for k in range(n_seg):
+        o, st = rx.process(corrupted[k * seg : (k + 1) * seg], st)
+        outs.append(np.asarray(o["audio_l"]))
+        idxs.append(rx.iq_repair_idx)
+    # pre-slip: aligned; the switch lands after the 3-segment hysteresis
+    assert idxs[4] == 0, idxs
+    assert idxs[7] == 2, idxs          # delay-I repair adopted
+    # audio recovers: image rejection in the final segments ~ pre-slip level
+    sir_pre = _sir_1k_vs_2k(np.concatenate(outs[2:5]))
+    sir_during = _sir_1k_vs_2k(np.concatenate(outs[5:7]))
+    sir_post = _sir_1k_vs_2k(np.concatenate(outs[8:]))
+    assert sir_post > sir_during + 10.0, (sir_pre, sir_during, sir_post)
+    assert sir_post > 30.0

@@ -92,7 +92,7 @@ def main():
                 mode=DemodMode.USB, vfo_freq=7_200_000.0,
                 capture_center_freq=7_190_000.0, agc=AGCMode.MEDIUM,
                 nr=NRMode.DNR2, matmul_precision=prec)
-            for ck in (1024, 2048):
+            for ck in (1024, 2048, 4096):
                 run(f"lms128_{prec}_c{ck}", cfg, 128, fold_chunk=ck)
     if "spec" in which:
         for prec in ("highest", "high"):
@@ -110,6 +110,7 @@ def main():
                 capture_center_freq=7_050_000.0, agc=AGCMode.MEDIUM,
                 matmul_precision=prec)
             run(f"sam128_{prec}_c1024", cfg, 128)
+            run(f"sam128_{prec}_c2048", cfg, 128, sam_chunk=2048)
 
     print(json.dumps(results))
     return 0

@@ -29,6 +29,10 @@ def run_case(mode_name, n_ch=16, n=65536, seed=0):
 
     center = 7_050_000.0
     freqs = [center + 2_000.0 * k for k in range(n_ch)]
+    # "nb:" prefix turns the folded noise blanker on (round 5, VERDICT r4 #4)
+    nb = mode_name.startswith("nb:")
+    if nb:
+        mode_name = mode_name[3:]
     # combo names "am+lms", "sam+spec", ... exercise the round-4 demod x NR
     # matrix on the lanes kernel (RadioDSP_SDR_RX.ino:198)
     if "+" in mode_name:
@@ -44,7 +48,7 @@ def run_case(mode_name, n_ch=16, n=65536, seed=0):
               "spectral": NRMode.SPEC2}.get(mode_name, NRMode.OFF)
     cfg = ReceiverConfig(mode=demod, vfo_freq=freqs[0],
                          capture_center_freq=center, agc=AGCMode.MEDIUM,
-                         nr=nr)
+                         nr=nr, noise_blanker=nb)
     if mode_name == "usb":
         fused = FusedSSBBank(cfg, freqs, block_t=4096, backend="sweep")
     elif mode_name == "am":
@@ -63,6 +67,11 @@ def run_case(mode_name, n_ch=16, n=65536, seed=0):
     rng = np.random.default_rng(seed)
     iq = ((rng.standard_normal((n_ch, n)) + 1j * rng.standard_normal((n_ch, n)))
           .astype(np.complex64) * 0.2)
+    if nb:
+        # plant ignition-style impulses so the blanker actually gates,
+        # incl. at the segment boundary (tail keep-mask carry)
+        for pos in (700, n // 2 - 2, n // 2 + 901, n - 3):
+            iq[:, pos] += 6.0 * (1 + 1j)
     xr = np.ascontiguousarray(iq.real, np.float32)
     xi = np.ascontiguousarray(iq.imag, np.float32)
 
@@ -90,7 +99,8 @@ def main():
     import jax
 
     quick = "--quick" in sys.argv
-    modes = ["usb", "am", "sam", "lms", "notch", "spectral"]
+    modes = ["usb", "am", "sam", "lms", "notch", "spectral",
+             "nb:usb", "nb:am", "nb:sam", "nb:lms"]
     for a in sys.argv[1:]:
         if a.startswith("--modes="):
             modes = a.split("=", 1)[1].split(",")

@@ -159,3 +159,57 @@ def voiced_qrm_scene(
     iq = iq + siggen.ssb_from_audio(adj, 14_000.0, fs, "usb", amp=0.08)
     iq = (iq + siggen.noise(n, 0.10, seed=seed + 1)).astype(np.complex64)
     return iq, {"center": center, "station_freq": f0, "audio": audio}
+
+
+def fading_ssb_scene(
+    n: int,
+    center: float = 7_150_000.0,
+    fs: float = FS,
+    seed: int = 5,
+    doppler_hz: float = 1.0,
+    delay_s: float = 0.001,
+) -> tuple[np.ndarray, dict]:
+    """Ionospheric-channel SSB scene (round 5, VERDICT r4 #9): a USB voice
+    station through a two-path Watterson-style HF channel — each path a
+    complex Rayleigh fading process (Gaussian-filtered at ``doppler_hz``
+    spread), the second path ~1 ms delayed with an independent Doppler — in
+    impulsive atmospheric noise (Gaussian floor + Poisson static crashes,
+    the noise-blanker target) plus the usual band noise.
+
+    Returns (iq, truth) with the clean audio, the dominant-path magnitude
+    ``fade_env`` (for envelope-tracking metrics — an aligned static-gain SNR
+    fit cannot follow fading), and the impulse sample positions.
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    audio = siggen.voiced_speech(n, fs, seed=seed)
+    f0 = center + 10_000.0
+    clean = siggen.ssb_from_audio(audio, 10_000.0, fs, "usb", amp=0.5)
+
+    def rayleigh(seed_k):
+        """Unit-mean-square complex fading process, ``doppler_hz`` spread."""
+        g = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+        spec = np.fft.fft(g)
+        f_axis = np.fft.fftfreq(n, 1 / fs)
+        spec[np.abs(f_axis) > doppler_hz] = 0
+        h = np.fft.ifft(spec)
+        h /= np.sqrt(np.mean(np.abs(h) ** 2) + 1e-30)
+        return h.astype(np.complex64)
+
+    h1 = rayleigh(0)
+    h2 = rayleigh(1)
+    d = max(1, int(round(delay_s * fs)))
+    path2 = np.concatenate([np.zeros(d, np.complex64), clean[:-d]])
+    iq = clean * h1 * 0.85 + path2 * h2 * 0.4
+
+    # atmospheric static crashes: Poisson impulses, heavy amplitudes
+    n_imp = max(4, n // 6000)
+    idx = rng.integers(2000, n - 1, n_imp)
+    imp = np.zeros(n, np.complex64)
+    imp[idx] = ((rng.standard_normal(n_imp) + 1j * rng.standard_normal(n_imp))
+                * rng.pareto(2.0, n_imp).clip(0.5, 8.0) * 2.0)
+    iq = iq + imp
+    iq = (iq + siggen.noise(n, 0.015, seed=seed + 1)).astype(np.complex64)
+    return iq, {"center": center, "station_freq": f0, "audio": audio,
+                "fade_env": np.abs(h1).astype(np.float32),
+                "impulse_idx": idx}

@@ -207,6 +207,28 @@ def build_cases(n: int = 1 << 16):
         nr=NRMode.SPEC2)
     cases.append(("voiced_usb_spec2", cfgv, iqv,
                   lambda audio: segmental_metrics(audio, truthv["audio"], FS)))
+
+    # fading/Doppler + atmospheric-noise scene (round 5, VERDICT r4 #9):
+    # two-path Watterson-style channel with static crashes, demodulated with
+    # the noise blanker ON. A static-gain SNR fit cannot follow fading, so
+    # the quality metric tracks the output loudness envelope against
+    # fade_env x the speech's syllabic envelope.
+    iqf, truthf = scenes.fading_ssb_scene(n)
+    cfgf = ReceiverConfig(
+        mode=DemodMode.USB, vfo_freq=truthf["station_freq"],
+        capture_center_freq=truthf["center"], agc=AGCMode.OFF,
+        noise_blanker=True)
+    env_audio = np.abs(truthf["audio"]).astype(np.float64)
+    a_env = np.exp(-1.0 / (0.01 * FS))
+    sy = np.empty_like(env_audio)
+    acc = 0.0
+    for i, v in enumerate(env_audio):
+        acc = a_env * acc + (1 - a_env) * v
+        sy[i] = acc
+    fade_ref = truthf["fade_env"] * sy
+    cases.append(("fading_usb_nb", cfgf, iqf,
+                  lambda audio: {"env_corr": envelope_corr(
+                      audio, fade_ref, FS, tau_s=0.01)}))
     return cases
 
 

@@ -2,6 +2,7 @@
 (RadioDSP_SDR_RX.ino:88-89, codec setup :160-169) as a host PCM sink."""
 
 import numpy as np
+import pytest
 
 from radiodsp_sdr_rx_tpu.utils.audio_sink import AudioSink
 
@@ -50,6 +51,7 @@ def test_sink_headless_degrades_gracefully(monkeypatch):
     sink.close()
 
 
+@pytest.mark.slow
 def test_sink_backpressure_drops_oldest(tmp_path):
     """A stalled sink never blocks the DSP loop; drops are counted."""
     sink = AudioSink(FS, channels=2, queue_blocks=2,

@@ -3,6 +3,7 @@ processes over a localhost coordinator run the 2-D sharded bank chain on a
 global mesh whose channel axis crosses the process boundary
 (tools/dcn_loopback.py; SURVEY.md §4 distributed test strategy)."""
 
+import pytest
 import os
 import subprocess
 import sys
@@ -10,6 +11,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_two_process_distributed_loopback():
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "dcn_loopback.py")],

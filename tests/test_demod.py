@@ -2,6 +2,7 @@
 synthetic signals (SURVEY.md §4 integration strategy, BASELINE.json configs)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from radiodsp_sdr_rx_tpu.ops import demod, fastconv, fir_design, spectral_sub
@@ -62,6 +63,7 @@ def test_ssb_rejects_opposite_sideband():
     assert peak < ref * 3e-3  # > 50 dB rejection
 
 
+@pytest.mark.slow
 def test_am_envelope_demod():
     """BASELINE config 1 shape: AM carrier, 1 kHz modulation, envelope demod."""
     n = 65536

@@ -9,6 +9,9 @@ from radiodsp_sdr_rx_tpu.models.fused import FusedSSBBank
 from radiodsp_sdr_rx_tpu.models.receiver import ReceiverBank
 from radiodsp_sdr_rx_tpu.utils import siggen
 
+# interpret-mode Pallas parity: minutes per test on CPU — full tier only
+pytestmark = pytest.mark.slow
+
 FS = 44117.64706
 
 

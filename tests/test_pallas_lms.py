@@ -1,6 +1,7 @@
 """Pallas LMS kernel (interpret mode) vs the scan-based reference op."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +54,7 @@ def test_notch_mode_and_chunk_invariance(rng):
         np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_grouped_v3_matches_scan_lms(rng):
     """The grouped (v3) kernel is exact algebra: parity with the scan op."""
     c, n = LANES, 2048

@@ -1,6 +1,7 @@
 """Pallas SAM PLL kernel (interpret mode) == vmapped per-sample scan."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -87,6 +88,7 @@ def test_sam_pallas_streaming_continuity(rng):
     np.testing.assert_allclose(got, np.asarray(full), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sam_pallas_plus_dc_matches_demod_sam(rng):
     """pallas PLL + XLA dc_blocker == planar.demod_sam_planar end to end."""
     c, n = LANES, 2048

@@ -1,6 +1,7 @@
 """Single-sweep DMA kernels (interpret mode) vs the staged fused path."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from radiodsp_sdr_rx_tpu.ops import agc as agc_ops
@@ -45,6 +46,7 @@ def test_sweep_chunk_invariance(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_chain_matches_staged_streaming(rng):
     """sweep_full_chain == mix/demod kernel -> XLA AGC -> PBT kernel, with
     state threaded across two segments."""
@@ -132,6 +134,7 @@ def test_full_chain_agc_disabled(rng):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_am_chain_matches_staged_streaming(rng):
     """sweep_am_chain == planar NCO -> band-pass -> AM envelope+DC -> AGC ->
     PBT staged chain, with state threaded across two segments."""

@@ -2,6 +2,7 @@
 sharded over the (virtual) 8-device mesh, plus 2-D channel x time sharding."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,9 @@ from radiodsp_sdr_rx_tpu.parallel import (
     make_bank_time_sharded_chain, make_mesh, shard_channel_bank,
 )
 from radiodsp_sdr_rx_tpu.utils import siggen
+
+# interpret-mode Pallas parity: minutes per test on CPU — full tier only
+pytestmark = pytest.mark.slow
 
 FS = 44117.64706
 

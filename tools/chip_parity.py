@@ -68,10 +68,20 @@ def run_case(mode_name, n_ch=16, n=65536, seed=0):
     iq = ((rng.standard_normal((n_ch, n)) + 1j * rng.standard_normal((n_ch, n)))
           .astype(np.complex64) * 0.2)
     if nb:
-        # plant ignition-style impulses so the blanker actually gates,
-        # incl. at the segment boundary (tail keep-mask carry)
+        # The keep decision mag <= avg*thresh is an fp COMPARE: a sample
+        # sitting within float rounding of the boundary legitimately flips
+        # between the kernel's doubling-scan average and XLA's
+        # associative-scan average (different summation orders), and one
+        # flipped blank is a huge samplewise diff. Kernel parity is only
+        # well-posed on DECISIVE inputs: clip the noise magnitude to 2.2x
+        # its mean (threshold sits at 3.16x the running average) and plant
+        # impulses at >= 10x — every decision then has orders-of-magnitude
+        # fp margin, incl. across the segment-boundary tail keep-mask.
+        mag = np.abs(iq)
+        cap = 2.2 * float(mag.mean())
+        iq *= np.minimum(1.0, cap / np.maximum(mag, 1e-12))
         for pos in (700, n // 2 - 2, n // 2 + 901, n - 3):
-            iq[:, pos] += 6.0 * (1 + 1j)
+            iq[:, pos] = 6.0 * (1 + 1j)
     xr = np.ascontiguousarray(iq.real, np.float32)
     xi = np.ascontiguousarray(iq.imag, np.float32)
 

@@ -501,6 +501,15 @@ def _clip_for_nb(iq, cap_ratio=2.2):
         np.complex64)
 
 
+def _warm_nb(iq, st_f, st_b):
+    """Warm-start both blanker averages at the scene's mean magnitude: the
+    cold-start ramp (avg climbing from 0) crosses every sample's level —
+    hundreds of consecutive near-threshold decisions where samplewise parity
+    is ill-posed (see _clip_for_nb)."""
+    warm = np.full(st_f.nb_avg.shape, float(np.abs(iq).mean()), np.float32)
+    return st_f._replace(nb_avg=warm), st_b._replace(nb_avg=warm.copy())
+
+
 def test_fused_nb_matches_reference_bank(rng):
     """Noise blanker folded into the sweep kernel (round 5, VERDICT r4 #4):
     FusedSSBBank(noise_blanker=True) == ReceiverBank on an impulse-laden
@@ -520,7 +529,7 @@ def test_fused_nb_matches_reference_bank(rng):
     for ch in range(8):
         for pos in (500, 1733, n - 3, n - 1, n + 901):
             iq[ch, pos] = 8.0 * (1 + 1j)
-    st_f, st_b = fused.init_state(), bank.init_state()
+    st_f, st_b = _warm_nb(iq, fused.init_state(), bank.init_state())
     for sl in (slice(0, n), slice(n, 2 * n)):
         of, st_f = fused.process(iq[:, sl], st_f)
         ob, st_b = bank.process(iq[:, sl], st_b)
@@ -547,7 +556,7 @@ def test_fused_am_nb_matches_reference_bank(rng):
                       * 0.05)
     iq[:, 700] = 6.0 * (1 - 1j)
     iq[:, n - 2] = 6.0 * (1 + 1j)
-    st_f, st_b = fused.init_state(), bank.init_state()
+    st_f, st_b = _warm_nb(iq, fused.init_state(), bank.init_state())
     for sl in (slice(0, n), slice(n, 2 * n)):
         of, st_f = fused.process(iq[:, sl], st_f)
         ob, st_b = bank.process(iq[:, sl], st_b)
@@ -572,9 +581,10 @@ def test_fused_nr_nb_matches_reference_bank(rng):
     bank = ReceiverBank(cfg, freqs)
     iq = ((rng.standard_normal((n_ch, 2 * n)) + 1j
            * rng.standard_normal((n_ch, 2 * n))).astype(np.complex64) * 0.05)
-    iq[:, 300] += 5.0 * (1 + 1j)
-    iq[:, n - 1] += 5.0 * (1 - 1j)
-    st_f, st_b = fused.init_state(), bank.init_state()
+    iq = _clip_for_nb(iq)
+    iq[:, 300] = 5.0 * (1 + 1j)
+    iq[:, n - 1] = 5.0 * (1 - 1j)
+    st_f, st_b = _warm_nb(iq, fused.init_state(), bank.init_state())
     for sl in (slice(0, n), slice(n, 2 * n)):
         of, st_f = fused.process(iq[:, sl], st_f)
         ob, st_b = bank.process(iq[:, sl], st_b)
@@ -605,7 +615,7 @@ def test_fused_sam_nb_matches_reference_bank(rng):
     # the locked carrier keeps |iq| ~ 1 with small spread; decisions are
     # decisive without clipping — just plant the impulse far above threshold
     iq[:, 700] = 8.0 * (1 + 1j)
-    st_f, st_b = fused.init_state(), bank.init_state()
+    st_f, st_b = _warm_nb(iq, fused.init_state(), bank.init_state())
     for sl in (slice(0, n), slice(n, 2 * n)):
         of, st_f = fused.process(iq[:, sl], st_f)
         ob, st_b = bank.process(iq[:, sl], st_b)

@@ -89,6 +89,16 @@ def run_case(mode_name, n_ch=16, n=65536, seed=0):
     half = n // 2
     results = {}
     st_f, st_b = fused.init_state(), bank.init_state()
+    if nb:
+        # warm-start the blanker average at the scene's mean magnitude:
+        # the cold-start ramp (avg climbing from 0) crosses every sample's
+        # level, i.e. hundreds of near-threshold decisions in a row —
+        # samplewise parity is ill-posed there (chip-measured: seg0-only
+        # flip diffs with an exact seg1). Both chains get the same warm
+        # state, as a mid-stream resume would.
+        warm = np.full(n_ch, float(np.abs(iq).mean()), np.float32)
+        st_f = st_f._replace(nb_avg=warm)
+        st_b = st_b._replace(nb_avg=warm.copy())
     max_diff = 0.0
     for seg, sl in enumerate((slice(0, half), slice(half, n))):
         of, st_f = fused.process_planar(

@@ -67,6 +67,19 @@ def run_case(mode_name, n_ch=16, n=65536, seed=0):
     rng = np.random.default_rng(seed)
     iq = ((rng.standard_normal((n_ch, n)) + 1j * rng.standard_normal((n_ch, n)))
           .astype(np.complex64) * 0.2)
+    if demod == DemodMode.SAM:
+        # SAM rows need a LOCKED-CARRIER scene: on pure noise the PLL phase
+        # is chaotic and amplifies last-ulp scheduling differences between
+        # kernel builds into O(1e-2) output diffs (chip-measured round 5) —
+        # parity on noise would pin the binary, not the math. Per-channel AM
+        # carrier 50 Hz off its tune; the loop locks and CONTRACTS
+        # differences, which is the demodulator's actual contract.
+        t = np.arange(n) / 44117.64706
+        iq = np.stack([
+            ((1.0 + 0.4 * np.sin(2 * np.pi * 400.0 * t))
+             * np.exp(2j * np.pi * (freqs[k] - center + 50.0) * t) * 0.5)
+            for k in range(n_ch)
+        ]).astype(np.complex64) + iq * 0.1
     if nb:
         # The keep decision mag <= avg*thresh is an fp COMPARE: a sample
         # sitting within float rounding of the boundary legitimately flips

@@ -242,7 +242,7 @@ class FusedNRBank:
                  block_c: int = 8, block_t: int = 8192,
                  lms_chunk: int = 4096,
                  fold: bool = True,
-                 fold_chunk: int = 4096,
+                 fold_chunk: int = 2048,
                  fold_group: int = 16,
                  kernel_precision: str | None = "high",
                  interpret: bool = False):
@@ -251,6 +251,12 @@ class FusedNRBank:
         ops/pallas_sweep_spec.sweep_spec_chain — one kernel, no extra HBM
         round-trips); ``fold=False`` keeps the staged sweep+XLA pipeline
         (also the parity oracle in tests/test_fused_bank.py).
+
+        ``fold_chunk`` defaults to the measured optimum under the 64 MB
+        scoped-VMEM limit (round 5, tools/bench_fold_r4.py on-chip: notch
+        1886/1965/1911 and lms 1924/1994 Ms/s at 1024/2048/4096 — 2048
+        wins, and its fully-unrolled macro stream compiles ~3x faster
+        than 4096's).
 
         ``kernel_precision`` sets the FOLDED kernels' MXU matmul passes and
         defaults to "high" (bf16x3, ~107 dB SNR vs the f32 oracle — above the
@@ -312,7 +318,9 @@ class FusedNRBank:
             # sam combos hold the PLL planes (t_buf, t_buf2) PLUS the NR
             # stage's extras (lms d_buf, or the 1.5 MB spectral operators)
             # in VMEM; keep their chunk at 1024 under the raised 64 MB
-            # scoped-vmem limit (they OOM'd the old 16 MB default at 1024)
+            # scoped-vmem limit (they OOM'd the old 16 MB default at 1024,
+            # and the serial PLL dominates sam throughput anyway — chunk
+            # size measured ~flat on the sam rows, tools/bench_fold_r4.py)
             fold_chunk = min(fold_chunk, 1024)
 
         def run_lms(audio, state: FusedNRBankState, lms_mode: str):

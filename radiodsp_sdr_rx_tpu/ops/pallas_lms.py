@@ -227,6 +227,96 @@ def _grouped_macro(tile, ds, w, mu, *, taps: int, group: int):
             jnp.concatenate(e_rows, axis=0), w)
 
 
+def _grouped_macro_r(tile, ds, w, mu, *, taps: int, group: int, r_in=None,
+                     emit_r: bool = True):
+    """Grouped exact-NLMS macro step, v4: telescoped lag-correlation register.
+
+    Same algebra as _grouped_macro (v3), but the group-pair correlations
+    r_{k, k+d} = win_k . win_d come from ONE carried register
+    R_k[d] (d = 0..group-1) that slides with the sample position,
+
+        R_{k+1}[d] = R_k[d] + a[k+1+taps] a[k+1+taps+d] - a[k+1] a[k+1+d]
+
+    (a = tile rows; win_k = tile[k+1 : k+1+taps]), instead of v3's fresh
+    per-group sliding pass (taps FMAs over a (U, C) tile) plus per-diagonal
+    telescopes. The slide costs ~4 (U, C) FMAs per sample vs v3's
+    taps/group + diagonal construction — the measured win is ~15-20% on the
+    whole folded notch/denoise chain (docs/PERFORMANCE.md round 5).
+
+    Needs ``group`` lookahead rows beyond the group's own samples: tile is
+    (taps + 2*group, C) = [carried window | group new samples | the NEXT
+    group's samples]; the slid-out register R_group (= the next group's
+    R_0) is returned for chaining. ``r_in=None`` recomputes R fresh from
+    the tile in the same ILP-4 sliding pass as the predictions — callers
+    rebase once per 128-row block so incremental rounding drift stays
+    bounded at 128 samples (measured ~1e-6 absolute on the chip vs v3).
+
+    Returns (y (U, C), e (U, C), w', r_out (U, C)).
+    """
+    U = group
+    c = tile.shape[1]
+    if tile.shape[0] != taps + 2 * U:
+        raise ValueError(f"tile rows {tile.shape[0]} != taps+2*group "
+                         f"{taps + 2 * U}")
+
+    acc_p = [jnp.zeros((U, c), jnp.float32) for _ in range(4)]
+    acc_r = ([jnp.zeros((U, c), jnp.float32) for _ in range(4)]
+             if r_in is None else None)
+    for i in range(taps):
+        sl = tile[1 + i:1 + i + U, :]                 # (U, C) static slice
+        acc_p[i % 4] = acc_p[i % 4] + w[i:i + 1, :] * sl
+        if acc_r is not None:
+            acc_r[i % 4] = acc_r[i % 4] + tile[1 + i:2 + i, :] * sl
+    preds = (acc_p[0] + acc_p[1]) + (acc_p[2] + acc_p[3])
+    R = (r_in if r_in is not None
+         else (acc_r[0] + acc_r[1]) + (acc_r[2] + acc_r[3]))
+
+    # energies: energy_k = ||win_k||^2 = R[0] + cumsum(sq[taps+i] - sq[i])
+    sq = tile * tile
+    if U > 1:
+        deltas = sq[taps + 1:taps + U, :] - sq[1:U, :]   # (U-1, C)
+        sh = 1
+        while sh < U - 1:
+            deltas = deltas + jnp.concatenate(
+                [jnp.zeros((sh, c), deltas.dtype), deltas[:-sh]], axis=0)
+            sh *= 2
+        energies = jnp.concatenate(
+            [jnp.zeros((1, c), jnp.float32), deltas], axis=0) + R[0:1, :]
+    else:
+        energies = R[0:1, :]
+    invs = mu / (energies + _EPS)                     # ONE vectorized divide
+
+    # serial chain: row FMAs with corrections read straight off the sliding
+    # register (R at step k IS [r_{k,k}, r_{k,k+1}, ...]); the R slide is
+    # data-independent of the e/c recursion so it issues alongside the tail
+    y_rows = [preds[k:k + 1, :] for k in range(U)]
+    e_rows = []
+    c_rows = []
+    for k in range(U):
+        e_k = ds[k:k + 1, :] - y_rows[k]
+        c_k = e_k * invs[k:k + 1, :]
+        e_rows.append(e_k)
+        c_rows.append(c_k)
+        for l in range(k + 1, U):
+            y_rows[l] = y_rows[l] + c_k * R[l - k:l - k + 1, :]
+        if k + 1 < U or emit_r:   # last slide is pure r_out (skippable when
+            R = (R + tile[k + 1 + taps:k + 2 + taps, :]   # the next macro
+                 * tile[k + 1 + taps:k + 1 + taps + U, :]  # rebases)
+                 - tile[k + 1:k + 2, :] * tile[k + 1:k + 1 + U, :])
+
+    # one weight update per group (identical to v3)
+    acc_w = [None, None, None, None]
+    for k in range(U):
+        term = c_rows[k] * tile[k + 1:k + 1 + taps, :]
+        acc_w[k % 4] = term if acc_w[k % 4] is None else acc_w[k % 4] + term
+    for a in acc_w:
+        if a is not None:
+            w = w + a
+
+    return (jnp.concatenate(y_rows, axis=0),
+            jnp.concatenate(e_rows, axis=0), w, R)
+
+
 def _lms_grouped_kernel(x_ref, d_ref, mu_ref, w_ref, win_ref, y_ref, e_ref,
                         w_out_ref, win_out_ref, *, chunk: int, taps: int,
                         group: int):

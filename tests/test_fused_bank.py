@@ -409,8 +409,12 @@ def test_sam_wide_matches_narrow(rng):
 
 def test_lanes_chain_unroll_matches_fori(rng):
     """The production fully-unrolled LMS macro stream and the interpret-mode
-    fori-loop twin must agree exactly (same ops, same order — only the loop
-    structure differs)."""
+    fori-loop twin must agree to f32 reassociation noise: same ops, same
+    order (v4 rebase macros are peeled out of the fori at static positions),
+    but XLA may form FMAs differently between the rolled and unrolled
+    graphs, and the adaptive recursion amplifies those last-ulp differences
+    (observed ~7e-8 abs over 512 samples; bound 1e-6 catches any structural
+    divergence)."""
     import jax
     from radiodsp_sdr_rx_tpu.ops.pallas_chain_lanes import sweep_lanes_chain
 
@@ -440,7 +444,7 @@ def test_lanes_chain_unroll_matches_fori(rng):
         if a is None:
             assert b is None
             continue
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 @pytest.mark.parametrize("mode,nr", [

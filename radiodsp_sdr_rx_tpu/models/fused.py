@@ -618,8 +618,10 @@ class FusedSAMBank:
         XLA-sandwich path (the parity oracle).
 
         ``sam_chunk`` is the kernel time chunk: default 1024 folded (the
-        folded kernel's VMEM budget caps the chunk; 2048 fails to compile on
-        the deployment backend) and 4096 staged."""
+        measured optimum for the round-5 fast-PLL pipelined stream: 1307
+        vs 1299 Ms/s at 2048 on the chip, and half the compile time; the
+        wide multi-group kernel caps its own chunk at 256 — G=8 crashes
+        the remote compiler at 512) and 4096 staged."""
         from radiodsp_sdr_rx_tpu.ops.pallas_sam import LANES
 
         if sam_chunk is None:

@@ -51,8 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radiodsp_sdr_rx_tpu.ops.lms import LMS_DELAY, _EPS
 from radiodsp_sdr_rx_tpu.ops.mxu import mxu_dot
-from radiodsp_sdr_rx_tpu.ops.pallas_lms import _grouped_macro
-from radiodsp_sdr_rx_tpu.ops.pallas_sam import _pll_loop
+from radiodsp_sdr_rx_tpu.ops.pallas_lms import _grouped_macro, _grouped_macro_r
+from radiodsp_sdr_rx_tpu.ops.pallas_sam import (
+    _pll_loop, _pll_step_fast, _sincos_wrapped,
+)
 from radiodsp_sdr_rx_tpu.ops.pallas_sweep import (
     _PHASE_SCALE, _env_lanes, _env_rows, _even_chunks, _iir_lanes, _iir_rows,
 )
@@ -104,7 +106,7 @@ def _lanes_chain_kernel(
     buf_r, buf_i, buf_l, buf_ro, sem_r, sem_i, sem_l, sem_ro,
     tail_r, tail_i, audio_tail, env_carry,
     t_buf, d_buf, lms_w, lms_win, lms_prev, dcx, dcy, pll_st, t_buf2,
-    nfl_carry, st_l, st_r, nbavg, nbmask,
+    nfl_carry, st_l, st_r, nbavg, nbmask, t_zr1, t_zi1,
     *, chunk_nb: int, n_chunks: int, out_gain: float,
     agc_release: float, agc_target: float, agc_max_gain: float,
     agc_enabled: bool, demod: str, nr: str, mu: float, group: int, taps: int,
@@ -136,6 +138,11 @@ def _lanes_chain_kernel(
     chunk = chunk_nb * 128
     lms = nr in ("denoise", "notch")
     c0 = pl.program_id(0) * cb   # grid over 128-channel lane groups
+    # software-pipelined SAM driver (round 5): needs an even chunk count
+    # (static 2-slot t_buf scheduling) — the wrapper sizes the scratch
+    # buffers with the SAME predicate
+    sam_pipe = (demod == "sam" and nr == "none"
+                and n_chunks % 2 == 0 and n_chunks >= 2)
 
     def dma_in(slot, t):
         return (
@@ -238,19 +245,21 @@ def _lanes_chain_kernel(
     tr_passes = 3 if (demod == "sam"
                       or precision == jax.lax.Precision.HIGHEST) else 2
 
-    def to_lanes(x3, out_ref):
-        """(128, nb, 128) value -> (nb*128 time, 128 ch) scratch via MXU."""
+    def to_lanes(x3, out_ref, base: int = 0):
+        """(128, nb, 128) value -> (nb*128 time, 128 ch) scratch via MXU.
+        ``base`` selects the slot row offset (the pipelined SAM driver keeps
+        two chunk slots in t_buf/t_buf2)."""
         ident = ident_ref[:]
         for j in range(chunk_nb):
-            out_ref[j * 128:(j + 1) * 128, :] = _transpose_mxu(
+            out_ref[base + j * 128:base + (j + 1) * 128, :] = _transpose_mxu(
                 x3[:, j, :], ident, passes=tr_passes)
 
-    def from_lanes(in_ref):
+    def from_lanes(in_ref, base: int = 0):
         """(nb*128, 128 ch) scratch -> (128, nb, 128) value via MXU."""
         ident = ident_ref[:]
         blocks = [
-            _transpose_mxu(in_ref[j * 128:(j + 1) * 128, :], ident,
-                           passes=tr_passes)[:, None, :]
+            _transpose_mxu(in_ref[base + j * 128:base + (j + 1) * 128, :],
+                           ident, passes=tr_passes)[:, None, :]
             for j in range(chunk_nb)
         ]
         return jnp.concatenate(blocks, axis=1)
@@ -272,31 +281,21 @@ def _lanes_chain_kernel(
         first = flags_ref[0, 0]
         nfirst = 128 // group   # macro steps whose desired predates the chunk
         bpg = 128 // group      # macro steps per 128-block
+        last_m = chunk_nb * bpg - 1
 
-        def macro(m, carry, static: bool):
-            """One macro step. ``static=True`` (production): all slice
-            offsets are compile-time constants — no dynamic-slice lowering
-            on the hot path, and no fori_loop region boundary between macro
-            steps, so the scheduler can mix the interleaved MXU transposes
-            into the VPU-bound macro stream. ``static=False`` is the
-            numerically identical fori-loop twin (same op order) used in
-            interpret mode, where full unrolling makes tracing intractable.
-            The delayed desired is read directly from the pristine t_buf
-            (this chunk, 128 rows back) or lms_prev (previous chunk's last
-            128 input rows) — no chunk-sized staging copy. (A variant that
-            also read the window tile straight from a head-extended t_buf
-            measured no faster and blew compile time to ~20 min — the
-            register-carried window is the sweet spot.)"""
-            w, win = carry
+        def desired(m, xs, static):
+            """128-sample-delayed desired rows for macro ``m``, read directly
+            from the pristine t_buf (this chunk, 128 rows back) or lms_prev
+            (previous chunk's last 128 input rows) — no chunk-sized staging
+            copy. First-block quirk: the stream's very first 128 samples
+            predict themselves."""
             if static:
                 p = m * group
-                xs = t_buf[p:p + group, :]
                 ds = (t_buf[p - 128:p - 128 + group, :] if m >= nfirst
                       else lms_prev[p:p + group, :])
                 early = m < nfirst
             else:
                 pd = m * group
-                xs = t_buf[pl.ds(pd, group), :]
                 d_cur = t_buf[pl.ds(jnp.maximum(pd - 128, 0), group), :]
                 d_prev = lms_prev[pl.ds(jnp.minimum(pd, 128 - group),
                                         group), :]
@@ -307,20 +306,75 @@ def _lanes_chain_kernel(
                 ds = jnp.where(jnp.logical_and(m < nfirst, quirk), xs, ds)
             elif early:
                 ds = jnp.where(quirk, xs, ds)
-            tile = jnp.concatenate([win, xs], axis=0)
-            y, e, w = _grouped_macro(tile, ds, w, np.float32(mu),
-                                     taps=taps, group=group)
+            return ds
+
+        def macro_v4(m, carry, static: bool, rebase: bool = False):
+            """One macro step on the v4 telescoped-R macro (needs ``group``
+            lookahead rows — every macro but the chunk's last has them in
+            t_buf because block j+1 is transposed in before block j's macros
+            run). ``static=True`` (production): all slice offsets are
+            compile-time constants — no dynamic-slice lowering on the hot
+            path, and no fori_loop region boundary between macro steps, so
+            the scheduler can mix the interleaved MXU transposes into the
+            VPU-bound macro stream. ``static=False`` is the numerically
+            identical fori-loop twin (same op order) used in interpret mode,
+            where full unrolling makes tracing intractable; rebase macros
+            (every 128-row block start, bounding the R register's
+            incremental rounding drift) are peeled out of the fori at static
+            positions so the twin stays exact. (A variant that read the
+            window tile straight from a head-extended t_buf measured no
+            faster and blew compile time to ~20 min — the register-carried
+            window is the sweet spot.)"""
+            w, win, r_reg = carry
+            if static:
+                p = m * group
+                xs2 = t_buf[p:p + 2 * group, :]
+            else:
+                xs2 = t_buf[pl.ds(m * group, 2 * group), :]
+            xs = xs2[:group, :]
+            ds = desired(m, xs, static)
+            tile = jnp.concatenate([win, xs2], axis=0)
+            # the macro before a rebase (or before the chunk-final v3 macro)
+            # does not need to emit r_out; only macros whose successor is a
+            # carried v4 macro do. Successor m+1 rebases iff (m+1) % bpg ==
+            # 0, and m+1 == last_m runs v3 — static in both loop forms for
+            # the static path; the fori body conservatively always emits
+            # (its successors are interior carried macros except the final
+            # iteration, whose emit is one wasted (U, C) FMA pair).
+            emit = True
+            if static:
+                emit = ((m + 1) % bpg != 0) and (m + 1 != last_m)
+            y, e, w, r_reg = _grouped_macro_r(
+                tile, ds, w, np.float32(mu), taps=taps, group=group,
+                r_in=None if rebase else r_reg, emit_r=emit)
             out = y if nr == "denoise" else e
             if static:
                 d_buf[p:p + group, :] = out
             else:
                 d_buf[pl.ds(m * group, group), :] = out
-            return (w, tile[group:, :])
+            return (w, tile[group:group + taps, :], r_reg)
+
+        def macro_v3(m, carry):
+            """The chunk's LAST macro: no lookahead rows exist, so it runs
+            the self-contained v3 macro (fresh sliding pass + per-diagonal
+            telescopes). Always at a static position (peeled in both loop
+            forms)."""
+            w, win, r_reg = carry
+            p = m * group
+            xs = t_buf[p:p + group, :]
+            ds = desired(m, xs, static=True)
+            tile = jnp.concatenate([win, xs], axis=0)
+            y, e, w = _grouped_macro(tile, ds, w, np.float32(mu),
+                                     taps=taps, group=group)
+            d_buf[p:p + group, :] = y if nr == "denoise" else e
+            return (w, tile[group:, :], r_reg)
 
         ident = ident_ref[:]
         t_buf[0:128, :] = _transpose_mxu(y3[:, 0, :], ident,
                                          passes=tr_passes)
-        carry = (lms_w[:], lms_win[:])
+        # R register dummy until the first (always-rebase) macro overwrites
+        carry = (lms_w[:], lms_win[:],
+                 jnp.zeros((group, LANES), jnp.float32))
         out_blocks = []
         for j in range(chunk_nb):
             if j + 1 < chunk_nb:
@@ -328,11 +382,26 @@ def _lanes_chain_kernel(
                     y3[:, j + 1, :], ident, passes=tr_passes)
             if unroll_lms:
                 for m in range(j * bpg, (j + 1) * bpg):
-                    carry = macro(m, carry, static=True)
+                    if m == last_m:
+                        carry = macro_v3(m, carry)
+                    else:
+                        carry = macro_v4(m, carry, static=True,
+                                         rebase=(m % bpg == 0))
             else:
-                carry = jax.lax.fori_loop(
-                    j * bpg, (j + 1) * bpg,
-                    lambda m, cy: macro(m, cy, static=False), carry)
+                m0 = j * bpg
+                if m0 == last_m:
+                    carry = macro_v3(m0, carry)
+                else:
+                    # peel the block-start rebase macro (static position)
+                    carry = macro_v4(m0, carry, static=True, rebase=True)
+                    hi = (j + 1) * bpg - (1 if j == chunk_nb - 1 else 0)
+                    if hi > m0 + 1:
+                        carry = jax.lax.fori_loop(
+                            m0 + 1, hi,
+                            lambda m, cy: macro_v4(m, cy, static=False),
+                            carry)
+                    if j == chunk_nb - 1 and last_m > m0:
+                        carry = macro_v3(last_m, carry)
             out_blocks.append(_transpose_mxu(
                 d_buf[j * 128:(j + 1) * 128, :], ident,
                 passes=tr_passes)[:, None, :])
@@ -341,27 +410,47 @@ def _lanes_chain_kernel(
         lms_prev[:] = t_buf[chunk - 128:chunk, :]
         return jnp.concatenate(out_blocks, axis=1)
 
-    def sam_stage():
-        """Second-order PLL over t_buf/t_buf2 = (chunk, C) zr/zi; the
-        in-phase product overwrites t_buf IN PLACE (each zr row is read by
-        its own PLL step before that step stores vr to the same row — exact,
-        and saves a chunk-sized VMEM buffer). Constants per
-        ops/demod.demod_sam."""
-        # 2-D pl.ds row slices (1, 128): keeps every loop value at the
-        # backend's native 2-D vector shape (1-D scalar-indexed loads also
-        # lower, but 2-D matches the rest of the kernel). _pll_loop =
-        # unrolled fori_loop over _pll_step (polynomial sincos +
-        # conditional-wrap phase update; see ops/pallas_sam.py).
+    def sam_stage(bufs=None, inter_blocks=()):
+        """Second-order PLL over ``bufs`` = (zr_ref, zi_ref) (chunk, C)
+        scratch (default t_buf/t_buf2); the in-phase product overwrites
+        zr_ref IN PLACE (each zr row is read by its own PLL step before
+        that step stores vr to the same row — exact, and saves a
+        chunk-sized VMEM buffer). Constants per ops/demod.demod_sam.
+
+        ``inter_blocks``: emission closures (the pipelined driver's NEXT-
+        chunk front-end work) run immediately BEFORE the serial loop.
+        (A finer-grained variant that interleaved them one per 128-step
+        PLL block — the LMS macro stream's pattern — crashed the remote
+        Mosaic compiler at every chunk size tried (512/1024/2048, opaque
+        subprocess exit, round 5); matmuls embedded between serial PLL
+        groups appear to be the trigger, since the same total op count
+        with the fronts hoisted compiles fine.)"""
+        zr_ref, zi_ref = bufs if bufs is not None else (t_buf, t_buf2)
+        static = unroll_lms and chunk <= 2048
+        for blk_fn in inter_blocks:
+            blk_fn()
+
+        # 2-D row slices (1, 128): keeps every loop value at the backend's
+        # native 2-D vector shape. static unroll (production): compile-time
+        # row indices instead of a dynamic slice per serial step — the same
+        # lowering win as the LMS macro stream (round 5; gated off in
+        # interpret mode where full unrolling makes tracing intractable)
         def put(n, vr):
-            t_buf[pl.ds(n, 1), :] = vr
+            if isinstance(n, int):
+                zr_ref[n:n + 1, :] = vr
+            else:
+                zr_ref[pl.ds(n, 1), :] = vr
 
         phase, freq = _pll_loop(
             chunk,
-            lambda n: t_buf[pl.ds(n, 1), :],
-            lambda n: t_buf2[pl.ds(n, 1), :],
+            lambda n: zr_ref[n:n + 1, :] if isinstance(n, int)
+            else zr_ref[pl.ds(n, 1), :],
+            lambda n: zi_ref[n:n + 1, :] if isinstance(n, int)
+            else zi_ref[pl.ds(n, 1), :],
             put,
             pll_st[pl.ds(0, 1), :], pll_st[pl.ds(1, 1), :],
-            kp=pll_kp, ki=pll_ki, max_freq=pll_max_freq)
+            kp=pll_kp, ki=pll_ki, max_freq=pll_max_freq,
+            static=static)
         pll_st[pl.ds(0, 1), :] = phase
         pll_st[pl.ds(1, 1), :] = freq
 
@@ -423,13 +512,10 @@ def _lanes_chain_kernel(
         ).reshape(cb, chunk_nb, 256)
         return ylr[..., :128], ylr[..., 128:]
 
-    def process(t, slot: int):
-        @pl.when(t + 1 < n_chunks)
-        def _():
-            nr, ni = dma_in(1 - slot, t + 1)
-            nr.start()
-            ni.start()
-
+    def mix_filter(t, slot):
+        """DMA-wait + NCO mix + NB + overlap-save filter for chunk ``t``
+        (reads buf slot ``slot``; threads the tail_r/tail_i framing and NB
+        carries). Returns the filter/demod-operator output y."""
         cr, ci = dma_in(slot, t)
         cr.wait()
         ci.wait()
@@ -474,6 +560,59 @@ def _lanes_chain_kernel(
         ).reshape(cb, chunk_nb, w_out)
         tail_r[:] = br[:, chunk_nb - 1, :]
         tail_i[:] = bi[:, chunk_nb - 1, :]
+        return y
+
+    def dc_block(env):
+        """DC blocker y[n] = env[n]-env[n-1] + pole*y[n-1] as decaying-sum
+        doubling scan (same construction as pallas_sweep AM demod)."""
+        shifted = jnp.concatenate(
+            [jnp.zeros((cb, chunk_nb, 1), env.dtype), env[..., :-1]],
+            axis=-1)
+        row_prev = jnp.concatenate(
+            [dcx[:][:, 0:1], env[:, :-1, 127]], axis=1)   # (cb, nb)
+        lane0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+                 == 0).astype(env.dtype)
+        diff = env - (shifted + row_prev[:, :, None] * lane0)
+        run = _iir_lanes(diff, dc_pole)
+        seq = jnp.concatenate(
+            [dcy[:][:, 0:1], run[:, :-1, 127]], axis=1)
+        carry_in = _iir_rows(seq, pole128)
+        audio = run + carry_in[:, :, None] * p_lane
+        dcx[:] = jnp.broadcast_to(
+            env[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+        dcy[:] = jnp.broadcast_to(
+            audio[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+        return audio
+
+    def emit_out(t, out_l, out_r):
+        """Single-slot output staging with a DEFERRED wait: chunk t's store
+        DMA drains while chunk t+1 computes; we only block right before
+        overwriting the staging buffer (or after the loop, for the last
+        chunk) — halves the output VMEM vs a 2-slot ring AND overlaps the
+        store with compute."""
+        if isinstance(t, int):
+            if t > 0:
+                for d in dma_out(t - 1):
+                    d.wait()
+        else:
+            @pl.when(t > 0)
+            def _():
+                for d in dma_out(t - 1):
+                    d.wait()
+        buf_l[0] = out_l * out_gain
+        if out_r is not None:
+            buf_ro[0] = out_r * out_gain
+        for d in dma_out(t):
+            d.start()
+
+    def process(t, slot: int):
+        @pl.when(t + 1 < n_chunks)
+        def _():
+            nr_, ni_ = dma_in(1 - slot, t + 1)
+            nr_.start()
+            ni_.start()
+
+        y = mix_filter(t, slot)
 
         # ---- demodulate -> audio (cb, nb, 128) ----
         if demod == "ssb":
@@ -490,25 +629,7 @@ def _lanes_chain_kernel(
                 zr = y[..., :128]
                 zi = y[..., 128:]
                 env = jnp.sqrt(zr * zr + zi * zi)
-            # DC blocker y[n] = env[n]-env[n-1] + pole*y[n-1] as decaying-sum
-            # doubling scan (same construction as pallas_sweep AM demod)
-            shifted = jnp.concatenate(
-                [jnp.zeros((cb, chunk_nb, 1), env.dtype), env[..., :-1]],
-                axis=-1)
-            row_prev = jnp.concatenate(
-                [dcx[:][:, 0:1], env[:, :-1, 127]], axis=1)   # (cb, nb)
-            lane0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
-                     == 0).astype(env.dtype)
-            diff = env - (shifted + row_prev[:, :, None] * lane0)
-            run = _iir_lanes(diff, dc_pole)
-            seq = jnp.concatenate(
-                [dcy[:][:, 0:1], run[:, :-1, 127]], axis=1)
-            carry_in = _iir_rows(seq, pole128)
-            audio = run + carry_in[:, :, None] * p_lane
-            dcx[:] = jnp.broadcast_to(
-                env[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
-            dcy[:] = jnp.broadcast_to(
-                audio[:, chunk_nb - 1, :][:, 127:128], (cb, 128))
+            audio = dc_block(env)
 
         # ---- NR / AGC / PBT in the ReceiverBank stage order ----
         if nr == "notch":
@@ -525,29 +646,70 @@ def _lanes_chain_kernel(
             out_l = lr[..., :128]
             out_r = lr[..., 128:]
 
-        # single-slot output staging with a DEFERRED wait: chunk t's store
-        # DMA drains while chunk t+1 computes; we only block right before
-        # overwriting the staging buffer (or after the loop, for the last
-        # chunk) — halves the output VMEM vs a 2-slot ring AND overlaps the
-        # store with compute (the old code waited inline every chunk).
-        @pl.when(t > 0)
-        def _():
-            for d in dma_out(t - 1):
-                d.wait()
-        buf_l[0] = out_l * out_gain
-        if out_r is not None:
-            buf_ro[0] = out_r * out_gain
-        for d in dma_out(t):
-            d.start()
+        emit_out(t, out_l, out_r)
 
-    def body(u, _):
-        process(2 * u, 0)
-        process(2 * u + 1, 1)
-        return 0
+    if sam_pipe:
+        # ---- software-pipelined SAM driver (round 5) ----
+        # The serial PLL is latency-bound (the VPU idles between dependent
+        # ops) while the skeleton around it (mix cos/sin, filter matmul,
+        # MXU tile transposes, DC/AGC/PBT) is throughput work with no data
+        # dependence on the NEIGHBORING chunk's PLL. Chunk t+1's front end
+        # is emitted in per-128-block PIECES between chunk t's PLL step
+        # groups (sam_stage inter_blocks) — coarse whole-front emission
+        # before the PLL measured only +3% (the scheduler does not reach
+        # across whole-chunk op distances); the fine-grained interleave is
+        # the same pattern that carries the LMS macro stream. The two chunk
+        # slots live in SEPARATE scratch refs (t_buf/t_buf2 vs t_zr1/t_zi1)
+        # so the pieces carry no false ref dependencies into the stream.
+        # Chip ablation (docs/PERFORMANCE.md round 5): full 1253 /
+        # detector-stub 1977 / skeleton 2861 Ms/s at 128 ch — the non-PLL
+        # work is ~44% of the serial wall.
+        slot_bufs = ((t_buf, t_buf2), (t_zr1, t_zi1))
 
-    jax.lax.fori_loop(0, n_chunks // 2, body, 0)
-    if n_chunks % 2:
-        process(n_chunks - 1, 0)
+        def sam_front(t, slot: int, prefetch: bool):
+            if prefetch:
+                nr_, ni_ = dma_in(1 - slot, t + 1)
+                nr_.start()
+                ni_.start()
+            y = mix_filter(t, slot)
+            zr_ref, zi_ref = slot_bufs[slot]
+            to_lanes(y[..., :128], zr_ref)
+            to_lanes(y[..., 128:], zi_ref)
+
+        def sam_back(t, slot: int):
+            env = from_lanes(slot_bufs[slot][0])
+            lr = pbt_block(agc_block(dc_block(env)))
+            emit_out(t, lr[..., :128], lr[..., 128:])
+
+        # n_chunks is even and >= 2 (the wrapper picks chunk_t so)
+        sam_front(0, 0, prefetch=True)
+
+        def pipe_body(u, _):
+            t = 2 * u
+            sam_front(t + 1, 1, prefetch=True)
+            sam_stage(slot_bufs[0])
+            sam_back(t, 0)
+            sam_front(t + 2, 0, prefetch=True)
+            sam_stage(slot_bufs[1])
+            sam_back(t + 1, 1)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks // 2 - 1, pipe_body, 0)
+        t_last = n_chunks - 2
+        sam_front(n_chunks - 1, 1, prefetch=False)
+        sam_stage(slot_bufs[0])
+        sam_back(t_last, 0)
+        sam_stage(slot_bufs[1])
+        sam_back(n_chunks - 1, 1)
+    else:
+        def body(u, _):
+            process(2 * u, 0)
+            process(2 * u + 1, 1)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks // 2, body, 0)
+        if n_chunks % 2:
+            process(n_chunks - 1, 0)
     for d in dma_out(n_chunks - 1):   # drain the last chunk's store
         d.wait()
 
@@ -671,8 +833,16 @@ def sweep_lanes_chain(
     phase0 = jax.lax.bitcast_convert_type(jnp.asarray(phase0, jnp.uint32),
                                           jnp.int32)
     chunk_t = _even_chunks(n, chunk_t)
+    if demod == "sam" and nr == "none" and (n // chunk_t) % 2 and n > chunk_t:
+        # the pipelined SAM driver wants an even chunk count: halve the
+        # chunk once (n is a multiple of 128*2^k by _even_chunks's
+        # construction, so this keeps divisibility)
+        if chunk_t % 256 == 0 and n % (chunk_t // 2) == 0:
+            chunk_t //= 2
     chunk_nb = chunk_t // 128
     n_chunks = n // chunk_t
+    sam_pipe = (demod == "sam" and nr == "none"
+                and n_chunks % 2 == 0 and n_chunks >= 2)
     lms = nr in ("denoise", "notch")
     taps = int(lms_weights.shape[0]) if lms else 8
     if lms and chunk_t % group:
@@ -830,6 +1000,11 @@ def sweep_lanes_chain(
             tchunk if demod == "sam" else pltpu.VMEM((8, 128), jnp.float32),
             cvec, cvec, cvec,   # nfl_carry, st_l, st_r (spectral)
             cvec, cvec,         # nbavg, nbmask (noise blanker)
+            # t_zr1/t_zi1: the pipelined SAM driver's second chunk slot
+            # (separate refs so the interleaved front pieces carry no false
+            # ref dependencies into the PLL stream)
+            tchunk if sam_pipe else pltpu.VMEM((8, 128), jnp.float32),
+            tchunk if sam_pipe else pltpu.VMEM((8, 128), jnp.float32),
         ],
         # the backend's 16 MB scoped-VMEM DEFAULT is what rejected chunk_t
         # 2048+ all of rounds 3-4 (misdiagnosed as VMEM-budget math: the

@@ -49,9 +49,14 @@ def _atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
-    z = lo / jnp.maximum(hi, np.float32(1e-30))        # [0, 1]
-    big = z > np.float32(0.41421356)
-    z1 = jnp.where(big, (z - 1.0) / (z + 1.0), z)
+    # ONE divide for both octant branches (round 5): z = lo/hi and the
+    # [0, tan pi/8] reduction (z-1)/(z+1) = (lo-hi)/(lo+hi) share it via
+    # branch-selected numerator/denominator — divides are the longest-
+    # latency links of the PLL's serial chain, and this halves them
+    big = lo > np.float32(0.41421356) * hi
+    num = jnp.where(big, lo - hi, lo)
+    den = jnp.where(big, lo + hi, hi)
+    z1 = num / jnp.maximum(den, np.float32(1e-30))
     z2 = z1 * z1
     p = ((((np.float32(8.05374449538e-2) * z2
             - np.float32(1.38776856032e-1)) * z2
@@ -95,7 +100,10 @@ def _pll_step(zr, zi, phase, freq, *, kp, ki, max_freq):
     """One exact PLL step. phase stays in [0, 2*pi) by conditional wrap
     (the per-sample increment is bounded by max_freq + kp*pi << 2*pi), which
     replaces mod's divide+floor on the serial chain and is the *more* exact
-    of the two. Returns (vr, phase', freq')."""
+    of the two. Returns (vr, phase', freq').
+
+    Kept as the self-contained single-step form (chunk heads/tails, tests);
+    the loop body uses the split-phase _pll_step_fast below."""
     cr, ci = _sincos_wrapped(phase)
     vr = zr * cr + zi * ci                     # z * conj(ref)
     vi = zi * cr - zr * ci
@@ -108,31 +116,109 @@ def _pll_step(zr, zi, phase, freq, *, kp, ki, max_freq):
     return vr, p, freq
 
 
+def _pll_step_fast(zr, zi, cr, ci, phase, fprev, *, kp, ki, max_freq):
+    """One PLL step with the reference oscillator (cr, ci) carried as a
+    register and the NEXT step's oscillator built as base + correction
+    (round 5 — the serial chain is latency-bound, so this splits the
+    per-step phase advance into
+
+        phase_{n+1} = [phase_n + freq_{n-1}]  +  [(freq_n - freq_{n-1})
+                       err-independent base        + kp*err_n]  small corr
+
+    where the base's full 13-FMA sincos polynomial hangs only off the
+    PREVIOUS step's state — the compiler schedules it in parallel with this
+    step's atan2 — and only a 2-term small-angle rotation (|corr| <=
+    kp*pi + 2*max_freq ~ 0.065 rad, sin err < 5e-5) stays on the chain.
+    The phase/freq STATE recurrences are unchanged and exact (wrap, clip),
+    and (cr, ci) re-derives from them through the base polynomial every
+    step, so the approximation does not accumulate: each sample's reference
+    differs from sincos(phase_n) by a one-step O(1e-5) phase perturbation
+    the loop's own feedback absorbs (chain tolerance 2e-3).
+
+    Returns (vr, cr', ci', phase', freq') with freq' = freq_n (= the next
+    step's fprev)."""
+    vr = zr * cr + zi * ci                     # z * conj(ref)
+    vi = zi * cr - zr * ci
+    err = vi if _ABLATE_DETECTOR == "stub" else _atan2_poly(vi, vr)
+    fnew = jnp.clip(fprev + np.float32(ki) * err,
+                    -np.float32(max_freq), np.float32(max_freq))
+    corr = (fnew - fprev) + np.float32(kp) * err
+    # exact phase state (identical algebra to _pll_step)
+    p = phase + fnew + np.float32(kp) * err
+    p = jnp.where(p >= np.float32(_TWO_PI), p - np.float32(_TWO_PI), p)
+    p = jnp.where(p < 0.0, p + np.float32(_TWO_PI), p)
+    # err-independent base for the next oscillator: off the critical chain
+    b = phase + fprev
+    b = jnp.where(b >= np.float32(_TWO_PI), b - np.float32(_TWO_PI), b)
+    b = jnp.where(b < 0.0, b + np.float32(_TWO_PI), b)
+    cb, sb = _sincos_wrapped(b)
+    # small-angle rotation by corr (the only err-dependent oscillator work)
+    g2 = corr * corr
+    sing = corr * (np.float32(1.0) - g2 * np.float32(1.0 / 6.0))
+    cosg = np.float32(1.0) - g2 * np.float32(0.5)
+    cr2 = cb * cosg - sb * sing
+    ci2 = sb * cosg + cb * sing
+    return vr, cr2, ci2, p, fnew
+
+
+# Measurement-only ablation hook (tools/bench_sam_r5.py ablate mode):
+#   "atan2"    — production (default)
+#   "stub"     — phase detector replaced by raw vi (no divide): bounds the
+#                atan2's share of the serial chain
+#   "skeleton" — the whole PLL loop skipped (audio = band-passed I):
+#                bounds everything around the recurrence
+# Set by the harness at trace time (each value traces a distinct jaxpr, so
+# compile caches stay distinct). NEVER set in production code paths.
+_ABLATE_DETECTOR = "atan2"
+
+
 _PLL_UNROLL = 4
 
 
 def _pll_loop(chunk, get_zr, get_zi, put_vr, phase, freq,
-              *, kp, ki, max_freq, unroll: int = _PLL_UNROLL):
+              *, kp, ki, max_freq, unroll: int = _PLL_UNROLL,
+              static: bool = False):
     """Serial PLL over ``chunk`` samples, ``unroll`` samples per fori_loop
     iteration (amortizes loop overhead on the latency-bound chain), static
     tail for chunk % unroll. get/put are index->row accessors so both the
-    (chunk, C)-ref kernel and the lanes-chain scratch layout share this."""
+    (chunk, C)-ref kernel and the lanes-chain scratch layout share this.
+
+    The oscillator registers (cr, ci) seed EXACTLY from the carried phase,
+    then advance through _pll_step_fast's base + small-rotation split.
+
+    ``static=True`` fully unrolls the loop so every get/put runs at a
+    compile-time index — no dynamic-slice lowering on the latency-bound
+    chain (same rationale as the LMS macro stream's static unroll). Only
+    viable for small chunks (the wide-SAM kernel's 256); the big-chunk
+    narrow kernels keep the fori form."""
+    if _ABLATE_DETECTOR == "skeleton":
+        return phase, freq
+    cr, ci = _sincos_wrapped(phase)
+    if static:
+        for t in range(chunk):
+            vr, cr, ci, phase, freq = _pll_step_fast(
+                get_zr(t), get_zi(t), cr, ci, phase, freq,
+                kp=kp, ki=ki, max_freq=max_freq)
+            put_vr(t, vr)
+        return phase, freq
     main = chunk - chunk % unroll
 
     def body(m, carry):
-        phase, freq = carry
+        cr, ci, phase, freq = carry
         n = m * unroll
         for j in range(unroll):
-            vr, phase, freq = _pll_step(get_zr(n + j), get_zi(n + j),
-                                        phase, freq,
-                                        kp=kp, ki=ki, max_freq=max_freq)
+            vr, cr, ci, phase, freq = _pll_step_fast(
+                get_zr(n + j), get_zi(n + j), cr, ci, phase, freq,
+                kp=kp, ki=ki, max_freq=max_freq)
             put_vr(n + j, vr)
-        return (phase, freq)
+        return (cr, ci, phase, freq)
 
-    phase, freq = jax.lax.fori_loop(0, main // unroll, body, (phase, freq))
+    cr, ci, phase, freq = jax.lax.fori_loop(0, main // unroll, body,
+                                            (cr, ci, phase, freq))
     for t in range(main, chunk):
-        vr, phase, freq = _pll_step(get_zr(t), get_zi(t), phase, freq,
-                                    kp=kp, ki=ki, max_freq=max_freq)
+        vr, cr, ci, phase, freq = _pll_step_fast(
+            get_zr(t), get_zi(t), cr, ci, phase, freq,
+            kp=kp, ki=ki, max_freq=max_freq)
         put_vr(t, vr)
     return phase, freq
 

@@ -61,6 +61,7 @@ def _sam_wide_kernel(
     pll_kp: float, pll_ki: float, pll_max_freq: float,
     in_gain: float, iq_balance: float,
     nb: bool, nb_thresh: float, nb_a: float, precision,
+    static_pll: bool = True,
 ):
     """One instance = groups*128 channels; the PLL advances all of them per
     serial step. zbuf_r/zbuf_i: (chunk, G, 128) scratch (time leading);
@@ -210,15 +211,27 @@ def _sam_wide_kernel(
 
         # ---- ONE serial PLL stream over (G, 128) tiles ----
         def put(n, vr):
-            zbuf_r[pl.ds(n, 1), :, :] = vr[None]
+            if isinstance(n, int):
+                zbuf_r[n:n + 1, :, :] = vr[None]
+            else:
+                zbuf_r[pl.ds(n, 1), :, :] = vr[None]
 
+        # static=True when the chunk is small enough to unroll: every zbuf
+        # access then has a compile-time row index (a dynamic (1, G, 128)
+        # slice per serial step is the measured per-step cost driver at
+        # G=8 — round 5)
         phase_t, freq_t = _pll_loop(
             chunk,
-            lambda n: zbuf_r[pl.ds(n, 1), :, :].reshape(G, 128),
-            lambda n: zbuf_i[pl.ds(n, 1), :, :].reshape(G, 128),
+            lambda n: zbuf_r[pl.ds(n, 1), :, :].reshape(G, 128)
+            if not isinstance(n, int) else zbuf_r[n:n + 1, :, :]
+            .reshape(G, 128),
+            lambda n: zbuf_i[pl.ds(n, 1), :, :].reshape(G, 128)
+            if not isinstance(n, int) else zbuf_i[n:n + 1, :, :]
+            .reshape(G, 128),
             put,
             pll_st[0:G, :], pll_st[G:2 * G, :],
-            kp=pll_kp, ki=pll_ki, max_freq=pll_max_freq)
+            kp=pll_kp, ki=pll_ki, max_freq=pll_max_freq,
+            static=static_pll and chunk <= 512)
         pll_st[0:G, :] = phase_t
         pll_st[G:2 * G, :] = freq_t
 
@@ -390,7 +403,10 @@ def sweep_sam_wide(
         in_gain=float(in_gain), iq_balance=float(iq_balance),
         nb=bool(nb), nb_thresh=float(10.0 ** (nb_thresh_db / 20.0)),
         nb_a=float(_math.exp(-1.0 / nb_tau)),
-        precision=precision)
+        # static PLL unroll only in compiled mode: interpret-mode tracing of
+        # a fully unrolled serial stream is intractable (the fori form is
+        # numerically identical op-for-op)
+        precision=precision, static_pll=not interpret)
 
     cb = G * LANES
 

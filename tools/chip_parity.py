@@ -131,6 +131,12 @@ def run_case(mode_name, n_ch=16, n=65536, seed=0):
 def main():
     import jax
 
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     quick = "--quick" in sys.argv
     modes = ["usb", "am", "sam", "lms", "notch", "spectral",
              "nb:usb", "nb:am", "nb:sam", "nb:lms"]
